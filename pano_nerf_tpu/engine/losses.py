@@ -1,0 +1,82 @@
+"""Training losses for the mip-NeRF / Pano-NeRF systems.
+
+Counterparts of the loss math inlined in the reference systems
+(/root/reference/systems/panonerf_system.py:15-75,
+mipnerf_system.py:22-53). All losses operate on tone-mapped LDR values;
+ground truth is additionally quantized to 8 bits (reference :17).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+
+from pano_nerf_tpu.ops.shading import hdr_to_ldr
+
+Array = jnp.ndarray
+
+
+def masked_mse(pred: Array, target: Array, mask: Array) -> Array:
+    """sum(mask * (pred-target)^2) / sum(mask)."""
+    return jnp.sum(mask * (pred - target) ** 2) / jnp.sum(mask)
+
+
+def _l2_normalize(x: Array, eps: float = 1e-12) -> Array:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+
+
+def chromaticity_loss(ldr_gt: Array, albedo: Array) -> Array:
+    """MSE between unit-normalized LDR color and unit-normalized albedo
+    (reference panonerf_system.py:58-63)."""
+    return jnp.mean((_l2_normalize(ldr_gt) - _l2_normalize(albedo)) ** 2)
+
+
+def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
+                enable_surf: bool) -> Dict[str, Optional[Array]]:
+    """Full Pano-NeRF training loss.
+
+    Args:
+      outputs: [coarse LevelOutput, fine LevelOutput] from PanoMipNeRF.
+      rgbs_gt: [B, 3] HDR ground truth; mask: [B, 1] lossmult.
+    Returns dict with 'loss' plus each component for logging.
+    """
+    coarse, fine = outputs[0], outputs[-1]
+    ldr_gt = hdr_to_ldr(rgbs_gt, quantize=True)
+
+    vol_coarse = masked_mse(hdr_to_ldr(coarse.rgb), ldr_gt, mask)
+    vol_fine = masked_mse(hdr_to_ldr(fine.rgb), ldr_gt, mask)
+    loss = hparams["loss.coarse_loss_mult"] * vol_coarse + vol_fine
+
+    parts = dict(vol_coarse=vol_coarse, vol_fine=vol_fine, vol_surface=None,
+                 chrom=None, ort=None)
+    if enable_surf and fine.surf_rgb is not None:
+        vol_surface = masked_mse(hdr_to_ldr(fine.surf_rgb), ldr_gt, mask)
+        loss = loss + hparams["loss.surface_loss"] * vol_surface
+        parts["vol_surface"] = vol_surface
+        if hparams["loss.chrom_loss"] > 0:
+            chrom = chromaticity_loss(ldr_gt, fine.albedo)
+            loss = loss + hparams["loss.chrom_loss"] * chrom
+            parts["chrom"] = chrom
+    if fine.ort_loss is not None:
+        loss = loss + hparams["loss.ort_loss"] * fine.ort_loss
+        parts["ort"] = fine.ort_loss
+
+    parts["loss"] = loss
+    return parts
+
+
+def mipnerf_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict
+                   ) -> Dict[str, Optional[Array]]:
+    """Baseline mip-NeRF loss (reference mipnerf_system.py:22-53)."""
+    coarse, fine = outputs[0], outputs[-1]
+    ldr_gt = hdr_to_ldr(rgbs_gt, quantize=True)
+    vol_coarse = masked_mse(hdr_to_ldr(coarse.rgb), ldr_gt, mask)
+    vol_fine = masked_mse(hdr_to_ldr(fine.rgb), ldr_gt, mask)
+    loss = hparams["loss.coarse_loss_mult"] * vol_coarse + vol_fine
+    parts = dict(vol_coarse=vol_coarse, vol_fine=vol_fine, ort=None)
+    if fine.ort_loss is not None and hparams["loss.ort_loss"] > 0:
+        loss = loss + hparams["loss.ort_loss"] * fine.ort_loss
+        parts["ort"] = fine.ort_loss
+    parts["loss"] = loss
+    return parts

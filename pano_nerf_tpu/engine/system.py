@@ -1,0 +1,195 @@
+"""Training systems: model + optimizer + jitted train/render steps.
+
+Functional counterpart of the reference Lightning systems
+(/root/reference/systems/{base,mipnerf,panonerf}_system.py). A System owns
+the static pieces (model config, loss weights, optimizer, mesh) and builds
+pure jitted functions; all mutable state lives in an explicit `TrainState`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pano_nerf_tpu.core.rays import Rays, rays_map
+from pano_nerf_tpu.engine import losses as losses_lib
+from pano_nerf_tpu.engine.schedule import mip_lr_decay
+from pano_nerf_tpu.models import build_model
+from pano_nerf_tpu.parallel import mesh as mesh_lib
+
+
+class TrainState(NamedTuple):
+    step: jax.Array          # int32 scalar
+    params: Any
+    opt_state: Any
+
+
+class BaseSystem:
+    def __init__(self, hparams: Dict, mesh=None):
+        self.hparams = hparams
+        self.model = build_model(hparams)
+        self.train_randomized = bool(hparams["train.randomized"])
+        self.val_randomized = bool(hparams["val.randomized"])
+        self.white_bkgd = bool(hparams["train.white_bkgd"])
+        self.val_chunk_size = int(hparams["val.chunk_size"])
+        self.tx = optax.adam(mip_lr_decay(
+            hparams["optimizer.lr_init"], hparams["optimizer.lr_final"],
+            hparams["optimizer.max_steps"], hparams["optimizer.lr_delay_steps"],
+            hparams["optimizer.lr_delay_mult"]))
+        self.mesh = mesh if mesh is not None else mesh_lib.get_mesh(1)
+        self.env_rays: Optional[Rays] = None
+
+    # ----- state ---------------------------------------------------------
+
+    def create_state(self, key: jax.Array) -> TrainState:
+        params = self.model.init(key)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=self.tx.init(params))
+        return mesh_lib.replicate(self.mesh, state)
+
+    def set_env_rays(self, env_rays: Rays) -> None:
+        self.env_rays = mesh_lib.replicate(
+            self.mesh, rays_map(jnp.asarray, env_rays))
+
+    def shard_batch(self, batch):
+        return mesh_lib.shard_batch(self.mesh, batch)
+
+    def _apply_updates(self, state: TrainState, grads) -> TrainState:
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state)
+
+    # ----- rendering helpers --------------------------------------------
+
+    def _chunked(self, render_chunk, rays: Rays, num_rays: int):
+        """Pad to a chunk multiple and lax.map the chunk renderer."""
+        chunk = self.val_chunk_size
+        n = num_rays
+        pad = (-n) % chunk
+        padded = rays_map(
+            lambda x: jnp.concatenate(
+                [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0) if pad else x,
+            rays)
+        chunked = rays_map(
+            lambda x: x.reshape(-1, chunk, x.shape[-1]), padded)
+        out = jax.lax.map(render_chunk, chunked)
+        return jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:])[:n], out)
+
+
+class PanoNeRFSystem(BaseSystem):
+    """HDR pano training with the surface/irradiance path
+    (reference systems/panonerf_system.py)."""
+
+    def make_train_step(self, enable_surf: bool):
+        hp = self.hparams
+        use_ort = hp["loss.ort_loss"] > 0
+        env_rays = self.env_rays
+        assert env_rays is not None, "call set_env_rays() first"
+
+        def step_fn(state: TrainState, batch, key: jax.Array):
+            rays, rgbs = batch[0], batch[1]
+            step_key = jax.random.fold_in(key, state.step)
+            mask = rays.lossmult
+
+            def loss_fn(params):
+                outs = self.model(
+                    params, step_key, rays, env_rays,
+                    randomized=self.train_randomized,
+                    white_bkgd=self.white_bkgd, enable_surf=enable_surf,
+                    use_ort_loss=use_ort)
+                parts = losses_lib.pano_losses(outs, rgbs[..., :3], mask, hp,
+                                               enable_surf)
+                return parts["loss"], parts
+
+            (_, parts), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            return self._apply_updates(state, grads), parts
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def make_render_image(self, enable_surf: bool = True):
+        """Returns jitted fn(params, rays_flat, num_rays) -> dict of [N, C]."""
+        env_rays = self.env_rays
+
+        def render_fn(params, rays: Rays):
+            def render_chunk(chunk_rays: Rays):
+                outs = self.model(
+                    params, jax.random.PRNGKey(0), chunk_rays, env_rays,
+                    randomized=self.val_randomized,
+                    white_bkgd=self.white_bkgd, enable_surf=enable_surf,
+                    use_ort_loss=False)
+                c, f = outs[0], outs[-1]
+                out = dict(
+                    rgb_coarse=c.rgb, dep_coarse=c.distance[..., None],
+                    rgb_fine=f.rgb, dep_fine=f.distance[..., None],
+                    normal=f.normal)
+                if enable_surf:
+                    out.update(albedo=f.albedo,
+                               roughness=f.roughness[..., None],
+                               surf_rgb=f.surf_rgb, shading=f.shading)
+                return out
+
+            n = rays.origins.shape[0]
+            return self._chunked(render_chunk, rays, n)
+
+        return jax.jit(render_fn)
+
+
+class MipNeRFSystem(BaseSystem):
+    """LDR-supervised baseline (reference systems/mipnerf_system.py)."""
+
+    def make_train_step(self, enable_surf: bool = False):
+        hp = self.hparams
+        use_ort = hp["loss.ort_loss"] > 0
+
+        def step_fn(state: TrainState, batch, key: jax.Array):
+            rays, rgbs = batch[0], batch[1]
+            step_key = jax.random.fold_in(key, state.step)
+            mask = rays.lossmult
+
+            def loss_fn(params):
+                outs = self.model(
+                    params, step_key, rays, randomized=self.train_randomized,
+                    white_bkgd=self.white_bkgd, use_ort_loss=use_ort)
+                parts = losses_lib.mipnerf_losses(outs, rgbs[..., :3], mask, hp)
+                return parts["loss"], parts
+
+            (_, parts), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            return self._apply_updates(state, grads), parts
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def make_render_image(self, enable_surf: bool = False):
+        def render_fn(params, rays: Rays):
+            def render_chunk(chunk_rays: Rays):
+                outs = self.model(
+                    params, jax.random.PRNGKey(0), chunk_rays,
+                    randomized=self.val_randomized,
+                    white_bkgd=self.white_bkgd, use_ort_loss=True)
+                c, f = outs[0], outs[-1]
+                return dict(
+                    rgb_coarse=c.rgb, dep_coarse=c.distance[..., None],
+                    rgb_fine=f.rgb, dep_fine=f.distance[..., None],
+                    normal=f.normal)
+
+            n = rays.origins.shape[0]
+            return self._chunked(render_chunk, rays, n)
+
+        return jax.jit(render_fn)
+
+
+def build_system(hparams: Dict, mesh=None) -> BaseSystem:
+    name = hparams["nerf.mlp_name"]
+    if name == "panonerf":
+        return PanoNeRFSystem(hparams, mesh)
+    if name == "mipnerf":
+        return MipNeRFSystem(hparams, mesh)
+    raise ValueError(f"Unknown system {name!r}")

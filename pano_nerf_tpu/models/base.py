@@ -1,0 +1,216 @@
+"""Shared machinery for the coarse/fine mip-NeRF model family.
+
+Holds the static hyperparameter bundle (a frozen dataclass — hashable, so
+model methods close over it inside `jax.jit` without retracing churn), the
+encode->MLP->activations "compute graph", and the density-gradient normal
+estimator.
+
+Normals: the reference differentiates density w.r.t. the sample mean with a
+per-sample `vmap(jacrev(...))` (/root/reference/models/pano_mip_nerf.py:
+298-306). Since each sample's density depends only on its own mean, the full
+[B, N, 3] Jacobian equals the gradient of `sum(density)` — one `jax.vjp`
+backward pass with a ones-cotangent on the density output, sharing the
+forward evaluation with the rendering path. That's O(forward+backward)
+instead of O(N) jacobian rows, and it remains differentiable for the
+second-order gradients the orientation/surface losses need.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pano_nerf_tpu.models.mlp import NerfMLP
+from pano_nerf_tpu.ops import mip
+
+Array = jax.Array
+
+
+class LevelOutput(NamedTuple):
+    """Per-level render products. Optional fields are None when not computed.
+
+    Mirrors the reference 9-tuple (/root/reference/models/pano_mip_nerf.py:361)
+    plus `acc`.
+    """
+    rgb: Array                       # [B, 3] composited HDR radiance
+    distance: Array                  # [B] expected termination distance
+    acc: Array                       # [B] opacity
+    ort_loss: Optional[Array] = None  # scalar orientation loss
+    normal: Optional[Array] = None    # [B, 3] expected surface normal
+    albedo: Optional[Array] = None    # [B, 3] expected albedo
+    roughness: Optional[Array] = None  # [B] expected roughness
+    surf_rgb: Optional[Array] = None  # [B, 3] surface-rendered HDR radiance
+    diffuse: Optional[Array] = None   # [B, 3] diffuse term
+    shading: Optional[Array] = None   # [B, 3] irradiance (shading) term
+
+
+@dataclasses.dataclass(frozen=True)
+class BaseNeRF:
+    """Static config + functional forward for a 2-level mip-NeRF.
+
+    Field semantics follow the reference ctor
+    (/root/reference/models/pano_mip_nerf.py:117-195). `compute_dtype`
+    selects the MLP matmul precision (bf16 by default on TPU).
+    """
+    num_samples: int = 64
+    num_levels: int = 2
+    resample_padding: float = 0.01
+    stop_resample_grad: bool = True
+    use_viewdirs: bool = True
+    disparity: bool = False
+    ray_shape: str = "cone"
+    min_deg_point: int = 0
+    max_deg_point: int = 16
+    deg_view: int = 4
+    density_noise: float = 0.0
+    density_bias: float = -1.0
+    rgb_padding: float = 0.0
+    disable_integration: bool = False
+    append_identity: bool = True
+    mlp_net_depth: int = 8
+    mlp_net_width: int = 256
+    mlp_net_depth_condition: int = 1
+    mlp_net_width_condition: int = 128
+    mlp_skip_index: int = 4
+    mlp_num_rgb_channels: int = 3
+    mlp_num_density_channels: int = 1
+    num_env_samples: int = 10
+    compute_dtype: Any = jnp.bfloat16
+
+    # ----- construction -------------------------------------------------
+
+    @classmethod
+    def from_hparams(cls, hparams: dict, **overrides):
+        """Build from a flat dot-key config (reference systems/base_system.py:26-55)."""
+        dtype = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                 "f32": jnp.float32, "float32": jnp.float32}[
+                     str(hparams.get("train.precision", "bf16"))]
+        kw = dict(
+            num_samples=hparams["nerf.num_samples"],
+            num_levels=hparams["nerf.num_levels"],
+            resample_padding=hparams["nerf.resample_padding"],
+            stop_resample_grad=bool(hparams["nerf.stop_resample_grad"]),
+            use_viewdirs=bool(hparams["nerf.use_viewdirs"]),
+            disparity=bool(hparams["nerf.disparity"]),
+            ray_shape=hparams["nerf.ray_shape"],
+            min_deg_point=hparams["nerf.min_deg_point"],
+            max_deg_point=hparams["nerf.max_deg_point"],
+            deg_view=hparams["nerf.deg_view"],
+            density_noise=hparams["nerf.density_noise"],
+            density_bias=hparams["nerf.density_bias"],
+            rgb_padding=hparams["nerf.rgb_padding"],
+            disable_integration=bool(hparams["nerf.disable_integration"]),
+            # 'Ture' (config typo preserved from the reference) is truthy.
+            append_identity=bool(hparams["nerf.append_identity"]),
+            mlp_net_depth=hparams["nerf.mlp.net_depth"],
+            mlp_net_width=hparams["nerf.mlp.net_width"],
+            mlp_net_depth_condition=hparams["nerf.mlp.net_depth_condition"],
+            mlp_net_width_condition=hparams["nerf.mlp.net_width_condition"],
+            mlp_skip_index=hparams["nerf.mlp.skip_index"],
+            mlp_num_rgb_channels=hparams["nerf.mlp.num_rgb_channels"],
+            num_env_samples=hparams["nerf.num_env_samples"],
+            compute_dtype=dtype,
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+    @property
+    def mlp(self) -> NerfMLP:
+        return NerfMLP(
+            net_depth=self.mlp_net_depth,
+            net_width=self.mlp_net_width,
+            net_depth_condition=self.mlp_net_depth_condition,
+            net_width_condition=self.mlp_net_width_condition,
+            skip_index=self.mlp_skip_index,
+            num_rgb_channels=self.mlp_num_rgb_channels,
+            num_density_channels=self.mlp_num_density_channels,
+            dtype=self.compute_dtype,
+        )
+
+    @property
+    def xyz_dim(self) -> int:
+        return (self.max_deg_point - self.min_deg_point) * 3 * 2
+
+    @property
+    def view_dim(self) -> int:
+        d = self.deg_view * 3 * 2
+        return d + 3 if self.append_identity else d
+
+    def init(self, key: jax.Array):
+        """Initialize MLP parameters (fp32)."""
+        x = jnp.zeros((1, 2, self.xyz_dim), jnp.float32)
+        v = jnp.zeros((1, 1, self.view_dim), jnp.float32)
+        return self.mlp.init(key, x, v if self.use_viewdirs else None)
+
+    # ----- encode + MLP + activations ------------------------------------
+
+    def _raw_outputs(self, params, means: Array, covs: Array, viewdirs: Array
+                     ) -> Tuple[Array, Array]:
+        """IPE-encode samples, PE-encode viewdirs, run the MLP.
+
+        means/covs: [..., N, 3]; viewdirs: [..., 3] (no sample dim).
+        Returns raw_rgb [..., N, 3], raw_density [..., N, C] (fp32).
+        """
+        if self.disable_integration:
+            covs = jnp.zeros_like(covs)
+        samples_enc = mip.integrated_pos_enc(
+            means, covs, self.min_deg_point, self.max_deg_point)
+        if self.use_viewdirs:
+            viewdirs_enc = mip.pos_enc(
+                viewdirs, 0, self.deg_view, self.append_identity)[..., None, :]
+            return self.mlp.apply(params, samples_enc, viewdirs_enc)
+        return self.mlp.apply(params, samples_enc)
+
+    def _activate_rgb_density(self, raw_rgb: Array, raw_density_1ch: Array,
+                              noise_key: Optional[jax.Array], randomized: bool
+                              ) -> Tuple[Array, Array]:
+        """softplus radiance + biased softplus density (reference
+        models/pano_mip_nerf.py:268-278)."""
+        if randomized and self.density_noise > 0 and noise_key is not None:
+            raw_density_1ch = raw_density_1ch + self.density_noise * jax.random.normal(
+                noise_key, raw_density_1ch.shape, raw_density_1ch.dtype)
+        rgb = jax.nn.softplus(raw_rgb)
+        rgb = rgb * (1.0 + 2.0 * self.rgb_padding) - self.rgb_padding
+        density = jax.nn.softplus(raw_density_1ch + self.density_bias)
+        return rgb, density
+
+    # ----- sampling ------------------------------------------------------
+
+    def _sample_level(self, key: jax.Array, rays, i_level: int,
+                      t_samples: Optional[Array], weights: Optional[Array],
+                      randomized: bool) -> Tuple[Array, Tuple[Array, Array]]:
+        if i_level == 0:
+            return mip.sample_along_rays(
+                key, rays.origins, rays.directions, rays.radii,
+                self.num_samples, rays.near, rays.far, randomized,
+                self.disparity)
+        return mip.resample_along_rays(
+            key, rays.origins, rays.directions, rays.radii, t_samples,
+            weights, randomized, self.stop_resample_grad,
+            self.resample_padding)
+
+    # ----- normals -------------------------------------------------------
+
+    @staticmethod
+    def _expected_normals(weights: Array, normals: Array, directions: Array,
+                          use_ort_loss: bool):
+        """Weight-average per-sample normals; optional orientation loss.
+
+        Reference: /root/reference/models/pano_mip_nerf.py:296-313.
+        """
+        w_norm = weights[..., None] / jnp.sum(weights, axis=-1)[..., None, None]
+        normals = normals / jnp.maximum(
+            jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+        normal = jnp.sum(w_norm * normals, axis=-2)
+        normal = normal / jnp.maximum(
+            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+        ort_loss = None
+        if use_ort_loss:
+            dot = jnp.sum(normals * directions[..., None, :], axis=-1,
+                          keepdims=True)
+            ort_loss = jnp.mean(
+                jnp.sum(w_norm * jax.nn.relu(dot) ** 2, axis=-2))
+        return normal, ort_loss, w_norm

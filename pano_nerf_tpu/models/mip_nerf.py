@@ -1,0 +1,64 @@
+"""The mip-NeRF baseline: 2-level coarse/fine radiance field.
+
+Functional JAX counterpart of /root/reference/models/mip_nerf.py:105-283.
+The dead `get_weights`/`get_normals` methods of the reference (which crash on
+an undefined `alb_activation`, mip_nerf.py:368,470) are deliberately not
+reproduced.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from pano_nerf_tpu.core.rays import Rays
+from pano_nerf_tpu.models.base import BaseNeRF, LevelOutput
+from pano_nerf_tpu.ops import mip
+
+
+class MipNeRF(BaseNeRF):
+    """Baseline model: 1 density channel, no surface/irradiance path."""
+
+    def __call__(self, params, key: jax.Array, rays: Rays, randomized: bool,
+                 white_bkgd: bool, use_ort_loss: bool = False
+                 ) -> List[LevelOutput]:
+        """Coarse/fine forward pass.
+
+        Reference: /root/reference/models/mip_nerf.py:170-283.
+        """
+        keys = jax.random.split(key, 2 * self.num_levels)
+        ret: List[LevelOutput] = []
+        t_samples, weights = None, None
+        for i_level in range(self.num_levels):
+            t_samples, (means, covs) = self._sample_level(
+                keys[2 * i_level], rays, i_level, t_samples, weights,
+                randomized)
+
+            def graph(m):
+                raw_rgb, raw_density = self._raw_outputs(
+                    params, m, covs, rays.viewdirs)
+                return self._activate_rgb_density(
+                    raw_rgb, raw_density, keys[2 * i_level + 1], randomized)
+
+            if i_level == self.num_levels - 1 and use_ort_loss:
+                (rgb, density), vjp_fn = jax.vjp(graph, means)
+                comp_rgb, distance, acc, weights = mip.volumetric_rendering(
+                    rgb, density, t_samples, rays.directions, white_bkgd)
+                (d_means,) = vjp_fn((jnp.zeros_like(rgb), jnp.ones_like(density)))
+                normal, ort_loss, _ = self._expected_normals(
+                    weights, -d_means, rays.directions, use_ort_loss=True)
+                ret.append(LevelOutput(rgb=comp_rgb, distance=distance,
+                                       acc=acc, ort_loss=ort_loss,
+                                       normal=normal))
+            else:
+                rgb, density = graph(means)
+                comp_rgb, distance, acc, weights = mip.volumetric_rendering(
+                    rgb, density, t_samples, rays.directions, white_bkgd)
+                # Reference emits ones as a placeholder normal at the coarse
+                # level (mip_nerf.py:281).
+                ret.append(LevelOutput(rgb=comp_rgb, distance=distance,
+                                       acc=acc,
+                                       normal=jnp.ones_like(comp_rgb)))
+        return ret

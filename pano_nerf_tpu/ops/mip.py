@@ -1,0 +1,340 @@
+"""mip-NeRF core math: conical frustum Gaussians, ray sampling, IPE, compositing.
+
+Functional JAX counterparts of the reference ops in
+/root/reference/models/mip.py (torch). Differences by design, not omission:
+
+* Explicit PRNG keys replace global `torch.rand` (reference models/mip.py:145,
+  186, 273). Eval paths (randomized=False) are bit-deterministic.
+* Inverse-CDF resampling uses an O(N^2) broadcast-compare formulation rather
+  than `searchsorted`+`gather` (reference models/mip.py:283-296): at N=64
+  samples the comparison matrix is tiny, stays in registers/VMEM, and avoids
+  gather ops that serialize badly on the VPU.
+* Everything is static-shape and jit-stable; blurpool stop-gradient is
+  `jax.lax.stop_gradient` (reference wraps in `torch.no_grad`,
+  models/mip.py:322-336).
+
+All ops compute in float32; callers downcast at the MLP boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+_F32_EPS = float(jnp.finfo(jnp.float32).eps)
+
+
+# ---------------------------------------------------------------------------
+# Conical frustum -> Gaussian moments
+# ---------------------------------------------------------------------------
+
+def lift_gaussian(directions: Array, t_mean: Array, t_var: Array, r_var: Array,
+                  diagonal: bool = True) -> Tuple[Array, Array]:
+    """Lift a 1-D Gaussian along a ray into a 3-D (diagonal) Gaussian.
+
+    Args:
+      directions: [..., 3] ray directions (not necessarily unit norm).
+      t_mean, t_var, r_var: [..., N] per-sample moments along/around the axis.
+    Returns:
+      mean [..., N, 3], cov_diag [..., N, 3].
+
+    Reference: /root/reference/models/mip.py:8-33 (diagonal branch).
+    """
+    mean = directions[..., None, :] * t_mean[..., :, None]
+    d_sq = directions ** 2
+    d_norm_sq = jnp.sum(d_sq, axis=-1, keepdims=True) + 1e-10
+    if diagonal:
+        null_outer_diag = 1.0 - d_sq / d_norm_sq
+        t_cov_diag = t_var[..., :, None] * d_sq[..., None, :]
+        xy_cov_diag = r_var[..., :, None] * null_outer_diag[..., None, :]
+        return mean, t_cov_diag + xy_cov_diag
+    # Full covariance: [..., N, 3, 3]
+    d_outer = directions[..., :, None] * directions[..., None, :]
+    eye = jnp.eye(directions.shape[-1], dtype=directions.dtype)
+    null_outer = eye - directions[..., :, None] * (directions / d_norm_sq)[..., None, :]
+    t_cov = t_var[..., None, None] * d_outer[..., None, :, :]
+    xy_cov = r_var[..., None, None] * null_outer[..., None, :, :]
+    return mean, t_cov + xy_cov
+
+
+def conical_frustum_to_gaussian(directions: Array, t0: Array, t1: Array,
+                                base_radius: Array, diagonal: bool = True
+                                ) -> Tuple[Array, Array]:
+    """Stable Gaussian approximation of a conical frustum.
+
+    Uses the numerically-stable moment formulas from the mip-NeRF paper
+    (reference /root/reference/models/mip.py:36-64, `stable=True` branch).
+
+    Args:
+      directions: [..., 3] cone axes.
+      t0, t1: [..., N] frustum start/end distances (fencepost pairs).
+      base_radius: [..., 1] cone radius at unit distance.
+    """
+    mu = (t0 + t1) / 2.0
+    hw = (t1 - t0) / 2.0
+    denom = 3.0 * mu ** 2 + hw ** 2
+    t_mean = mu + (2.0 * mu * hw ** 2) / denom
+    t_var = (hw ** 2) / 3.0 - (4.0 / 15.0) * ((hw ** 4 * (12.0 * mu ** 2 - hw ** 2)) / denom ** 2)
+    r_var = base_radius ** 2 * ((mu ** 2) / 4.0 + (5.0 / 12.0) * hw ** 2
+                                - (4.0 / 15.0) * (hw ** 4) / denom)
+    return lift_gaussian(directions, t_mean, t_var, r_var, diagonal)
+
+
+def cast_rays(t_samples: Array, origins: Array, directions: Array, radii: Array,
+              diagonal: bool = True) -> Tuple[Array, Array]:
+    """Convert fencepost distances into per-frustum Gaussians.
+
+    Args:
+      t_samples: [..., N+1] fencepost distances.
+      origins, directions: [..., 3]; radii: [..., 1].
+    Returns:
+      means [..., N, 3], covs [..., N, 3] (diagonal).
+
+    Reference: /root/reference/models/mip.py:67-89 ('cone' shape only; the
+    reference raises NotImplementedError for cylinders too).
+    """
+    t0 = t_samples[..., :-1]
+    t1 = t_samples[..., 1:]
+    means, covs = conical_frustum_to_gaussian(directions, t0, t1, radii, diagonal)
+    means = means + origins[..., None, :]
+    return means, covs
+
+
+# ---------------------------------------------------------------------------
+# Sampling along rays
+# ---------------------------------------------------------------------------
+
+def _stratify(key: jax.Array, t_edges: Array, randomized: bool) -> Array:
+    """Jitter sorted fencepost distances within their local cells."""
+    if not randomized:
+        return t_edges
+    mids = 0.5 * (t_edges[..., 1:] + t_edges[..., :-1])
+    upper = jnp.concatenate([mids, t_edges[..., -1:]], axis=-1)
+    lower = jnp.concatenate([t_edges[..., :1], mids], axis=-1)
+    t_rand = jax.random.uniform(key, t_edges.shape, dtype=t_edges.dtype)
+    return lower + (upper - lower) * t_rand
+
+
+def sample_along_rays(key: jax.Array, origins: Array, directions: Array,
+                      radii: Array, num_samples: int, near: Array, far: Array,
+                      randomized: bool, disparity: bool = False
+                      ) -> Tuple[Array, Tuple[Array, Array]]:
+    """Stratified sampling of conical frustums along rays.
+
+    Args:
+      origins, directions: [B, 3]; radii, near, far: [B, 1].
+    Returns:
+      t_samples [B, N+1], (means [B, N, 3], covs [B, N, 3]).
+
+    Reference: /root/reference/models/mip.py:113-151.
+    """
+    u = jnp.linspace(0.0, 1.0, num_samples + 1, dtype=origins.dtype)
+    if disparity:
+        t_edges = 1.0 / (1.0 / near * (1.0 - u) + 1.0 / far * u)
+    else:
+        t_edges = near + (far - near) * u
+    t_edges = jnp.broadcast_to(t_edges, origins.shape[:-1] + (num_samples + 1,))
+    t_samples = _stratify(key, t_edges, randomized)
+    means, covs = cast_rays(t_samples, origins, directions, radii)
+    return t_samples, (means, covs)
+
+
+def sample_env_rays(key: jax.Array, point_origins: Array, directions: Array,
+                    num_samples: int, near: Array, far: Array, radii: Array,
+                    randomized: bool) -> Tuple[Array, Tuple[Array, Array], Array]:
+    """Sample secondary (irradiance) rays from surface points toward env dirs.
+
+    Instead of the reference's repeat+reshape to a flat [B*D, S] batch
+    (/root/reference/models/mip.py:154-194), results stay in structured
+    [B, D, ...] form; callers flatten at the MLP boundary. The reference also
+    (accidentally) shares one stratified jitter across the whole batch via
+    broadcasting (`torch.rand(num_points, S+1)` with num_points==1,
+    models/mip.py:186); here jitter is drawn per (ray, direction).
+
+    Args:
+      point_origins: [B, 3] surface points.
+      directions: [D, 3] env directions; near/far/radii: [D, 1].
+    Returns:
+      t_samples [B, D, S+1], (means [B, D, S, 3], covs [B, D, S, 3]),
+      viewdirs [B, D, 3].
+    """
+    B = point_origins.shape[0]
+    D = directions.shape[0]
+    u = jnp.linspace(0.0, 1.0, num_samples + 1, dtype=point_origins.dtype)
+    t_edges = near + (far - near) * u  # [D, S+1]
+    t_edges = jnp.broadcast_to(t_edges, (B, D, num_samples + 1))
+    t_samples = _stratify(key, t_edges, randomized)
+
+    origins = jnp.broadcast_to(point_origins[:, None, :], (B, D, 3))
+    dirs = jnp.broadcast_to(directions[None, :, :], (B, D, 3))
+    radii_b = jnp.broadcast_to(radii[None, :, :], (B, D, 1))
+    means, covs = cast_rays(t_samples, origins, dirs, radii_b)
+    return t_samples, (means, covs), dirs
+
+
+# ---------------------------------------------------------------------------
+# Inverse-CDF resampling (fine level)
+# ---------------------------------------------------------------------------
+
+def sorted_piecewise_constant_pdf(key: jax.Array, bins: Array, weights: Array,
+                                  num_samples: int, randomized: bool) -> Array:
+    """Draw samples from a per-ray piecewise-constant PDF over sorted bins.
+
+    Matches the semantics of /root/reference/models/mip.py:240-301, but finds
+    CDF intervals with a broadcast max/min reduction over an [B, N+1, S]
+    comparison mask instead of searchsorted+gather — reduction-friendly on the
+    VPU, no dynamic indexing.
+
+    Args:
+      bins: [B, N+1] sorted fenceposts; weights: [B, N].
+    Returns:
+      samples [B, num_samples].
+    """
+    eps = 1e-5
+    weight_sum = jnp.sum(weights, axis=-1, keepdims=True)
+    padding = jnp.maximum(0.0, eps - weight_sum)
+    weights = weights + padding / weights.shape[-1]
+    weight_sum = weight_sum + padding
+
+    pdf = weights / weight_sum
+    cdf = jnp.minimum(1.0, jnp.cumsum(pdf[..., :-1], axis=-1))
+    cdf = jnp.concatenate([
+        jnp.zeros_like(cdf[..., :1]), cdf, jnp.ones_like(cdf[..., :1])
+    ], axis=-1)  # [B, N+1]
+
+    if randomized:
+        s = 1.0 / num_samples
+        u = jnp.arange(num_samples, dtype=cdf.dtype) * s
+        u = u + jax.random.uniform(key, cdf.shape[:-1] + (num_samples,),
+                                   dtype=cdf.dtype, maxval=s - _F32_EPS)
+        u = jnp.minimum(u, 1.0 - _F32_EPS)
+    else:
+        u = jnp.linspace(0.0, 1.0 - _F32_EPS, num_samples, dtype=cdf.dtype)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (num_samples,))
+
+    # For each u, locate its CDF interval: the largest bin edge with
+    # cdf <= u below, the smallest with cdf > u above.
+    mask = u[..., None, :] >= cdf[..., :, None]  # [B, N+1, S]
+
+    def lower_upper(x):
+        x_lo = jnp.max(jnp.where(mask, x[..., None], x[..., :1, None]), axis=-2)
+        x_hi = jnp.min(jnp.where(mask, x[..., -1:, None], x[..., None]), axis=-2)
+        return x_lo, x_hi
+
+    bins_lo, bins_hi = lower_upper(bins)
+    cdf_lo, cdf_hi = lower_upper(cdf)
+
+    denom = cdf_hi - cdf_lo
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_lo) / denom
+    return bins_lo + t * (bins_hi - bins_lo)
+
+
+def resample_along_rays(key: jax.Array, origins: Array, directions: Array,
+                        radii: Array, t_samples: Array, weights: Array,
+                        randomized: bool, stop_grad: bool,
+                        resample_padding: float
+                        ) -> Tuple[Array, Tuple[Array, Array]]:
+    """Resample frustums proportionally to blurpooled coarse weights.
+
+    Reference: /root/reference/models/mip.py:304-352.
+    """
+    weights_pad = jnp.concatenate(
+        [weights[..., :1], weights, weights[..., -1:]], axis=-1)
+    weights_max = jnp.maximum(weights_pad[..., :-1], weights_pad[..., 1:])
+    weights_blur = 0.5 * (weights_max[..., :-1] + weights_max[..., 1:])
+    weights_blur = weights_blur + resample_padding
+
+    new_t_vals = sorted_piecewise_constant_pdf(
+        key, t_samples, weights_blur, t_samples.shape[-1], randomized)
+    if stop_grad:
+        new_t_vals = jax.lax.stop_gradient(new_t_vals)
+    means, covs = cast_rays(new_t_vals, origins, directions, radii)
+    return new_t_vals, (means, covs)
+
+
+# ---------------------------------------------------------------------------
+# Positional encodings
+# ---------------------------------------------------------------------------
+
+def expected_sin(x: Array, x_var: Array) -> Array:
+    """E[sin(z)] for z ~ N(x, x_var). Reference models/mip.py:355-361."""
+    return jnp.exp(-0.5 * x_var) * jnp.sin(x)
+
+
+def integrated_pos_enc(means: Array, covs_diag: Array, min_deg: int,
+                       max_deg: int) -> Array:
+    """Integrated positional encoding of Gaussians (diagonal covariance).
+
+    Output feature order matches the reference exactly: degree-major then
+    dimension, sin block then cos block
+    (/root/reference/models/mip.py:394-428).
+
+    Args:
+      means, covs_diag: [..., 3].
+    Returns:
+      [..., 2 * 3 * (max_deg - min_deg)].
+    """
+    scales = jnp.asarray([2.0 ** i for i in range(min_deg, max_deg)],
+                         dtype=means.dtype)
+    shape = means.shape[:-1] + (-1,)
+    y = (means[..., None, :] * scales[:, None]).reshape(shape)
+    y_var = (covs_diag[..., None, :] * scales[:, None] ** 2).reshape(shape)
+    return expected_sin(
+        jnp.concatenate([y, y + 0.5 * jnp.pi], axis=-1),
+        jnp.concatenate([y_var, y_var], axis=-1))
+
+
+def pos_enc(x: Array, min_deg: int, max_deg: int,
+            append_identity: bool = True) -> Array:
+    """Classic NeRF positional encoding. Reference models/mip.py:431-441."""
+    scales = jnp.asarray([2.0 ** i for i in range(min_deg, max_deg)],
+                         dtype=x.dtype)
+    xb = (x[..., None, :] * scales[:, None]).reshape(x.shape[:-1] + (-1,))
+    four_feat = jnp.sin(jnp.concatenate([xb, xb + 0.5 * jnp.pi], axis=-1))
+    if append_identity:
+        return jnp.concatenate([x, four_feat], axis=-1)
+    return four_feat
+
+
+# ---------------------------------------------------------------------------
+# Volume rendering
+# ---------------------------------------------------------------------------
+
+def volumetric_rendering(rgb: Array, density: Array, t_samples: Array,
+                         dirs: Array, white_bkgd: bool
+                         ) -> Tuple[Array, Array, Array, Array]:
+    """Alpha-composite per-sample radiance along each ray.
+
+    Args:
+      rgb: [..., N, 3]; density: [..., N, 1]; t_samples: [..., N+1];
+      dirs: [..., 3] (un-normalized — its norm scales the deltas).
+    Returns:
+      comp_rgb [..., 3], distance [...], acc [...], weights [..., N].
+
+    Reference: /root/reference/models/mip.py:444-483.
+    """
+    t_mids = 0.5 * (t_samples[..., :-1] + t_samples[..., 1:])
+    t_interval = t_samples[..., 1:] - t_samples[..., :-1]
+    delta = t_interval * jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    density_delta = density[..., 0] * delta
+
+    alpha = 1.0 - jnp.exp(-density_delta)
+    trans = jnp.exp(-jnp.concatenate([
+        jnp.zeros_like(density_delta[..., :1]),
+        jnp.cumsum(density_delta[..., :-1], axis=-1),
+    ], axis=-1))
+    weights = alpha * trans
+
+    comp_rgb = jnp.sum(weights[..., None] * rgb, axis=-2)
+    acc = jnp.sum(weights, axis=-1)
+    # Softplus densities keep acc strictly positive; the epsilon only guards
+    # autodiff through pathological all-zero inputs.
+    distance = jnp.sum(weights * t_mids, axis=-1) / jnp.maximum(acc, 1e-10)
+    distance = jnp.clip(distance, t_samples[..., 0], t_samples[..., -1])
+    if white_bkgd:
+        comp_rgb = comp_rgb + (1.0 - acc[..., None])
+    return comp_rgb, distance, acc, weights
