@@ -80,3 +80,14 @@ def mipnerf_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict
         parts["ort"] = fine.ort_loss
     parts["loss"] = loss
     return parts
+
+
+def thin_surface(n, d, weight):
+    """Weighted ReLU(N.D) thin-surface penalty.
+
+    Ported for API parity: the reference defines it (models/loss.py:3-7) and
+    star-imports it into both systems but never calls it.
+    """
+    NoD = jnp.maximum(jnp.sum(n.reshape(-1, 3) * d.reshape(-1, 3),
+                              axis=-1, keepdims=True), 0.0)
+    return weight.reshape(-1, 1) * NoD

@@ -124,7 +124,7 @@ class PanoNeRFSystem(BaseSystem):
                     params, jax.random.PRNGKey(0), chunk_rays, env_rays,
                     randomized=self.val_randomized,
                     white_bkgd=self.white_bkgd, enable_surf=enable_surf,
-                    use_ort_loss=False)
+                    use_ort_loss=False, first_order=True)
                 c, f = outs[0], outs[-1]
                 out = dict(
                     rgb_coarse=c.rgb, dep_coarse=c.distance[..., None],
@@ -173,7 +173,8 @@ class MipNeRFSystem(BaseSystem):
                 outs = self.model(
                     params, jax.random.PRNGKey(0), chunk_rays,
                     randomized=self.val_randomized,
-                    white_bkgd=self.white_bkgd, use_ort_loss=True)
+                    white_bkgd=self.white_bkgd, use_ort_loss=True,
+                    first_order=True)
                 c, f = outs[0], outs[-1]
                 return dict(
                     rgb_coarse=c.rgb, dep_coarse=c.distance[..., None],

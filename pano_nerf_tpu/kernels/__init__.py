@@ -1,0 +1,1 @@
+from pano_nerf_tpu.kernels.fused_mlp import fused_mlp_apply, pack_params  # noqa: F401

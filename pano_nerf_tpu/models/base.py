@@ -79,6 +79,12 @@ class BaseNeRF:
     mlp_num_density_channels: int = 1
     num_env_samples: int = 10
     compute_dtype: Any = jnp.bfloat16
+    # Use the fused Pallas MLP kernel on first-order subgraphs (coarse level,
+    # secondary env queries, eval). Auto-disabled off-TPU at call time.
+    # Default off: the kernel wins in isolation (~15% on fwd+bwd) but the
+    # current integration (input padding + custom_vjp fusion barriers) gives
+    # it back; flip on after in-kernel IPE/compositing fusion lands.
+    use_fused_kernel: bool = False
 
     # ----- construction -------------------------------------------------
 
@@ -147,22 +153,45 @@ class BaseNeRF:
 
     # ----- encode + MLP + activations ------------------------------------
 
-    def _raw_outputs(self, params, means: Array, covs: Array, viewdirs: Array
-                     ) -> Tuple[Array, Array]:
+    def _fused_ok(self) -> bool:
+        """Fused kernel is available: TPU backend + standard topology."""
+        if not self.use_fused_kernel:
+            return False
+        try:
+            if jax.default_backend() not in ("tpu", "axon"):
+                return False
+        except RuntimeError:
+            return False
+        return (self.use_viewdirs and self.mlp_net_depth == 8
+                and self.mlp_skip_index == 4
+                and self.mlp_net_depth_condition == 1
+                and self.compute_dtype == jnp.bfloat16)
+
+    def _raw_outputs(self, params, means: Array, covs: Array, viewdirs: Array,
+                     fused: bool = False) -> Tuple[Array, Array]:
         """IPE-encode samples, PE-encode viewdirs, run the MLP.
 
         means/covs: [..., N, 3]; viewdirs: [..., 3] (no sample dim).
         Returns raw_rgb [..., N, 3], raw_density [..., N, C] (fp32).
+
+        `fused=True` routes through the Pallas fused-MLP kernel
+        (pano_nerf_tpu/kernels/fused_mlp.py). Only valid on subgraphs that
+        are differentiated at most once — custom_vjp is not
+        twice-differentiable.
         """
         if self.disable_integration:
             covs = jnp.zeros_like(covs)
         samples_enc = mip.integrated_pos_enc(
             means, covs, self.min_deg_point, self.max_deg_point)
-        if self.use_viewdirs:
-            viewdirs_enc = mip.pos_enc(
-                viewdirs, 0, self.deg_view, self.append_identity)[..., None, :]
-            return self.mlp.apply(params, samples_enc, viewdirs_enc)
-        return self.mlp.apply(params, samples_enc)
+        if not self.use_viewdirs:
+            return self.mlp.apply(params, samples_enc)
+        viewdirs_enc = mip.pos_enc(
+            viewdirs, 0, self.deg_view, self.append_identity)[..., None, :]
+        if fused and self._fused_ok():
+            from pano_nerf_tpu.kernels.fused_mlp import fused_mlp_apply
+            return fused_mlp_apply(params, samples_enc, viewdirs_enc,
+                                   self.mlp_num_density_channels)
+        return self.mlp.apply(params, samples_enc, viewdirs_enc)
 
     def _activate_rgb_density(self, raw_rgb: Array, raw_density_1ch: Array,
                               noise_key: Optional[jax.Array], randomized: bool

@@ -22,11 +22,13 @@ class MipNeRF(BaseNeRF):
     """Baseline model: 1 density channel, no surface/irradiance path."""
 
     def __call__(self, params, key: jax.Array, rays: Rays, randomized: bool,
-                 white_bkgd: bool, use_ort_loss: bool = False
-                 ) -> List[LevelOutput]:
+                 white_bkgd: bool, use_ort_loss: bool = False,
+                 first_order: bool = False) -> List[LevelOutput]:
         """Coarse/fine forward pass.
 
-        Reference: /root/reference/models/mip_nerf.py:170-283.
+        Reference: /root/reference/models/mip_nerf.py:170-283. `first_order`
+        promises single differentiation, enabling the fused kernel on the
+        normals-producing fine level.
         """
         keys = jax.random.split(key, 2 * self.num_levels)
         ret: List[LevelOutput] = []
@@ -35,14 +37,15 @@ class MipNeRF(BaseNeRF):
             t_samples, (means, covs) = self._sample_level(
                 keys[2 * i_level], rays, i_level, t_samples, weights,
                 randomized)
+            fine_normals = i_level == self.num_levels - 1 and use_ort_loss
 
-            def graph(m):
+            def graph(m, fused=first_order or not fine_normals):
                 raw_rgb, raw_density = self._raw_outputs(
-                    params, m, covs, rays.viewdirs)
+                    params, m, covs, rays.viewdirs, fused=fused)
                 return self._activate_rgb_density(
                     raw_rgb, raw_density, keys[2 * i_level + 1], randomized)
 
-            if i_level == self.num_levels - 1 and use_ort_loss:
+            if fine_normals:
                 (rgb, density), vjp_fn = jax.vjp(graph, means)
                 comp_rgb, distance, acc, weights = mip.volumetric_rendering(
                     rgb, density, t_samples, rays.directions, white_bkgd)

@@ -49,7 +49,13 @@ class PanoMipNeRF(BaseNeRF):
 
     def __call__(self, params, key: jax.Array, rays: Rays, env_rays: Rays,
                  randomized: bool, white_bkgd: bool, enable_surf: bool,
-                 use_ort_loss: bool) -> List[LevelOutput]:
+                 use_ort_loss: bool, first_order: bool = False
+                 ) -> List[LevelOutput]:
+        """Coarse/fine forward. `first_order=True` promises the caller will
+        differentiate the outputs at most once (e.g. eval rendering), which
+        lets the fine level use the fused Pallas kernel too; the coarse and
+        env subgraphs always may (their outputs feed the loss directly,
+        first-order, even in training)."""
         keys = jax.random.split(key, 2 * self.num_levels + 1)
         k_env = keys[-1]
         ret: List[LevelOutput] = []
@@ -58,17 +64,20 @@ class PanoMipNeRF(BaseNeRF):
             t_samples, (means, covs) = self._sample_level(
                 keys[2 * i_level], rays, i_level, t_samples, weights,
                 randomized)
+            fine_level = (i_level == self.num_levels - 1
+                          and self.num_levels >= 2)
 
             def graph(m, covs=covs, viewdirs=rays.viewdirs,
-                      noise_key=keys[2 * i_level + 1]):
+                      noise_key=keys[2 * i_level + 1],
+                      fused=first_order or not fine_level):
                 raw_rgb, raw_density = self._raw_outputs(
-                    params, m, covs, viewdirs)
+                    params, m, covs, viewdirs, fused=fused)
                 raw_sigma, albedo, roughness = self._split_heads(raw_density)
                 rgb, density = self._activate_rgb_density(
                     raw_rgb, raw_sigma, noise_key, randomized)
                 return rgb, density, albedo, roughness
 
-            fine = i_level == self.num_levels - 1 and self.num_levels >= 2
+            fine = fine_level
             if fine:
                 (rgb, density, albedos, roughnesses), vjp_fn = jax.vjp(
                     graph, means)
@@ -106,10 +115,11 @@ class PanoMipNeRF(BaseNeRF):
                     self.num_env_samples, env_rays.near, env_rays.far,
                     env_rays.radii, randomized)
 
-                # Secondary radiance query: [B, D, S, .].
+                # Secondary radiance query: [B, D, S, .] — always first-order
+                # (its output feeds the loss directly), so always fused.
                 e_rgb, e_density, _, _ = graph(
                     lit_means, covs=lit_covs, viewdirs=lit_dirs,
-                    noise_key=None)
+                    noise_key=None, fused=True)
                 env_rgb, *_ = mip.volumetric_rendering(
                     e_rgb, e_density, lit_t, lit_dirs, white_bkgd=False)
 

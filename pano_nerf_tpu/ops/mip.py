@@ -22,6 +22,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 _F32_EPS = float(jnp.finfo(jnp.float32).eps)
@@ -338,3 +339,169 @@ def volumetric_rendering(rgb: Array, density: Array, t_samples: Array,
     if white_bkgd:
         comp_rgb = comp_rgb + (1.0 - acc[..., None])
     return comp_rgb, distance, acc, weights
+
+
+# ---------------------------------------------------------------------------
+# mip-NeRF 360 extensions (present in the reference but outside its main
+# path: models/mip.py:92-110, 364-391, 550-570)
+# ---------------------------------------------------------------------------
+
+def sample_along_rays_360(key: jax.Array, origins: Array, directions: Array,
+                          radii: Array, num_samples: int, near: Array,
+                          far: Array, randomized: bool
+                          ) -> Tuple[Array, Tuple[Array, Array]]:
+    """Linear-in-disparity sampling with full covariances (mip-NeRF 360).
+
+    Returns t in *inverse* depth (the reference returns t_inv and casts rays
+    at t = 1/t_inv, models/mip.py:92-110).
+    """
+    u = jnp.linspace(0.0, 1.0, num_samples + 1, dtype=origins.dtype)
+    t_inv = (1.0 / far) * u + (1.0 - u) * (1.0 / near)
+    t_inv = jnp.broadcast_to(t_inv, origins.shape[:-1] + (num_samples + 1,))
+    # Note: stratification jitters in inverse-depth space.
+    t_inv = _stratify(key, t_inv, randomized)
+    t = 1.0 / t_inv
+    means, covs = cast_rays(t, origins, directions, radii, diagonal=False)
+    return t_inv, (means, covs)
+
+
+_ICOSAHEDRON_BASIS = np.array([
+    [0.8506508, 0.0, 0.5257311],
+    [0.809017, 0.5, 0.309017],
+    [0.5257311, 0.8506508, 0.0],
+    [1.0, 0.0, 0.0],
+    [0.809017, 0.5, -0.309017],
+    [0.8506508, 0.0, -0.5257311],
+    [0.309017, 0.809017, -0.5],
+    [0.0, 0.5257311, -0.8506508],
+    [0.5, 0.309017, -0.809017],
+    [0.0, 1.0, 0.0],
+    [-0.5257311, 0.8506508, 0.0],
+    [-0.309017, 0.809017, -0.5],
+    [0.0, 0.5257311, 0.8506508],
+    [-0.309017, 0.809017, 0.5],
+    [0.309017, 0.809017, 0.5],
+    [0.5, 0.309017, 0.809017],
+    [0.5, -0.309017, 0.809017],
+    [0.0, 0.0, 1.0],
+    [-0.5, 0.309017, 0.809017],
+    [-0.809017, 0.5, 0.309017],
+    [-0.809017, 0.5, -0.309017],
+], dtype=np.float32).T  # [3, 21]
+
+
+def contract(x: Array) -> Array:
+    """mip-NeRF 360 scene contraction: maps R^3 into a radius-2 ball.
+
+    Reference: models/mip.py:550-552 (applied only where |x| > 1 by
+    `parameterization`).
+    """
+    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return (2.0 - 1.0 / norm) * x / norm
+
+
+def parameterization(means: Array, covs: Array) -> Tuple[Array, Array]:
+    """Contract means outside the unit ball; transport covariances by the
+    contraction Jacobian: cov' = J cov J^T.
+
+    Replaces the reference's boolean-mask + per-point `vmap(jacrev())`
+    (models/mip.py:555-570) with a branch-free jnp.where formulation — no
+    dynamic shapes, jit-stable.
+    """
+    norm = jnp.linalg.norm(means, axis=-1, keepdims=True)
+    mask = norm[..., 0] > 1.0
+
+    jac = jax.vmap(jax.jacfwd(contract))(
+        means.reshape(-1, 3)).reshape(means.shape + (3,))
+    contr_covs = jac @ covs @ jnp.swapaxes(jac, -1, -2)
+    new_means = jnp.where(mask[..., None], contract(means), means)
+    new_covs = jnp.where(mask[..., None, None], contr_covs, covs)
+    return new_means, new_covs
+
+
+def integrated_pos_enc_360(means: Array, covs: Array) -> Array:
+    """IPE over the 21-direction icosahedral basis with full covariances
+    (mip-NeRF 360). Reference: models/mip.py:364-391."""
+    P = jnp.asarray(_ICOSAHEDRON_BASIS, dtype=means.dtype)
+    means, covs = parameterization(means, covs)
+    y = means @ P
+    y_var = jnp.sum((covs @ P) * P, axis=-2)
+    return expected_sin(
+        jnp.concatenate([y, y + 0.5 * jnp.pi], axis=-1),
+        jnp.concatenate([y_var, y_var], axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# Alternative compositing + helpers
+# ---------------------------------------------------------------------------
+
+def volumetric_lighting_composing(rgb: Array, density: Array,
+                                  t_samples: Array, dirs: Array,
+                                  white_bkgd: bool
+                                  ) -> Tuple[Array, Array, Array, Array]:
+    """Volume rendering with inverse-square distance attenuation on radiance:
+    comp = sum_i w_i * rgb_i / (1 + t_i^2).
+
+    The reference keeps this variant for env-light compositing experiments
+    (models/mip.py:486-527; its call site is commented out at
+    models/pano_mip_nerf.py:340-343).
+    """
+    t_mids = 0.5 * (t_samples[..., :-1] + t_samples[..., 1:])
+    t_interval = t_samples[..., 1:] - t_samples[..., :-1]
+    delta = t_interval * jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    density_delta = density[..., 0] * delta
+    alpha = 1.0 - jnp.exp(-density_delta)
+    trans = jnp.exp(-jnp.concatenate([
+        jnp.zeros_like(density_delta[..., :1]),
+        jnp.cumsum(density_delta[..., :-1], axis=-1),
+    ], axis=-1))
+    weights = alpha * trans
+
+    attenuation = 1.0 / (1.0 + t_mids ** 2)
+    comp_rgb = jnp.sum((weights * attenuation)[..., None] * rgb, axis=-2)
+    acc = jnp.sum(weights, axis=-1)
+    distance = jnp.sum(weights * t_mids, axis=-1) / jnp.maximum(acc, 1e-10)
+    distance = jnp.clip(distance, t_samples[..., 0], t_samples[..., -1])
+    if white_bkgd:
+        comp_rgb = comp_rgb + (1.0 - acc[..., None])
+    return comp_rgb, distance, acc, weights
+
+
+def sample_env_rays_hemisphere(key: jax.Array, point_origins: Array,
+                               directions: Array, num_samples: int,
+                               near: Array, far: Array, radii: Array,
+                               randomized: bool
+                               ) -> Tuple[Array, Tuple[Array, Array], Array]:
+    """Per-point env directions (e.g. normal-aligned hemispheres): like
+    `sample_env_rays` but directions vary per batch element, [B, D, 3].
+
+    Reference: models/mip.py:197-237 (`sample_each_points_hemisp`).
+    """
+    B, D = directions.shape[:2]
+    u = jnp.linspace(0.0, 1.0, num_samples + 1, dtype=point_origins.dtype)
+    t_edges = jnp.broadcast_to(near + (far - near) * u, (B, D, num_samples + 1))
+    t_samples = _stratify(key, t_edges, randomized)
+    origins = jnp.broadcast_to(point_origins[:, None, :], (B, D, 3))
+    radii_b = jnp.broadcast_to(radii[None, :, :], (B, D, 1))
+    means, covs = cast_rays(t_samples, origins, directions, radii_b)
+    return t_samples, (means, covs), directions
+
+
+def split_rays_into_chunks(rays, chunk_size: int = 4096):
+    """Flatten an image's rays and split into chunk-sized bundles.
+
+    Host-side counterpart of the reference `rearrange_render_image`
+    (models/mip.py:530-547). The jit-side equivalent used by the systems is
+    `BaseSystem._chunked` (lax.map over padded chunks); this version exists
+    for API parity and host-side pipelines.
+    Returns (list_of_chunk_rays, val_mask) where val_mask mirrors the
+    reference's vestigial third-from-last field return.
+    """
+    fields = [getattr(rays, k) for k in rays._fields]
+    val_mask = fields[-3]
+    flat = [f.reshape(-1, f.shape[-1]) for f in fields]
+    n = flat[0].shape[0]
+    chunks = []
+    for s in range(0, n, chunk_size):
+        chunks.append(type(rays)(*[f[s:s + chunk_size] for f in flat]))
+    return chunks, val_mask

@@ -182,3 +182,90 @@ def compute_illumination(x: Array) -> Array:
     """
     op = jnp.asarray([0.2126, 0.7152, 0.0722], dtype=x.dtype)
     return jnp.sum(x * op, axis=-1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Extended surface-rendering variants (reference utils/surface_rendering.py:
+# 168-291 — kept for API parity; the main pipeline uses `surface_rendering`)
+# ---------------------------------------------------------------------------
+
+def surface_rendering_wlit(env: Array, env_weight: Array, albedo: Array,
+                           normal: Array, roughness, l: Array, v,
+                           solid_angle: Array):
+    """Lambertian shading under K weighted environment maps.
+
+    Args:
+      env: [B, K, D, 3]; env_weight: [B, K]; albedo/normal: [B, 3];
+      l: [B, D, 3]; solid_angle: [D, 1].
+    Returns (rgb, diffuse, specular, shading).
+    Reference: utils/surface_rendering.py:168-203.
+    """
+    assert roughness is None, "only the Lambertian variant is implemented"
+    diffuse_brdf, NoL = lambertian_brdf(albedo, normal, l)
+    NoL = NoL[:, None]                          # [B, 1, D, 1]
+    sa = solid_angle.reshape(1, 1, -1, 1)
+    shading = jnp.sum(env * NoL * sa, axis=2)   # [B, K, 3]
+    shading = jnp.sum(shading * env_weight[..., None], axis=1)  # [B, 3]
+    diffuse = diffuse_brdf * shading
+    specular = jnp.zeros_like(diffuse)
+    return diffuse, diffuse, specular, shading
+
+
+def surface_rendering_hemi(env: Array, env_weight: Array, albedo: Array,
+                           NoL: Array, solid_angle: Array):
+    """Hemispherical lighting with fixed per-direction N.L.
+
+    Args:
+      env: [B, K, D, 3]; env_weight: [B, K]; albedo: [B, 3]; NoL: [D, 1];
+      solid_angle: [D, 1].
+    Reference: utils/surface_rendering.py:206-234.
+    """
+    diffuse_brdf = albedo / jnp.pi
+    NoL = NoL.reshape(1, 1, -1, 1)
+    sa = solid_angle.reshape(1, 1, -1, 1)
+    shading = jnp.sum(env * NoL * sa, axis=2)
+    shading = jnp.sum(shading * env_weight[..., None], axis=1)
+    diffuse = diffuse_brdf * shading
+    return diffuse, diffuse, None, shading
+
+
+def wrap_sg_lit(sg_lit: Array, position: Array) -> Array:
+    """Re-anchor spherical-gaussian point lights to per-pixel positions.
+
+    Args:
+      sg_lit: [N, 8] = color(3) | dir(3) | dist(1) | steradian(1).
+      position: [B, 3] surface points.
+    Returns [B, N, 8] with updated dir/dist/steradian.
+    Reference: utils/surface_rendering.py:267-291.
+    """
+    lit_col = sg_lit[:, :3]
+    lit_dir = sg_lit[:, 3:6]
+    lit_dist = sg_lit[:, 6:7]
+    lit_ster = sg_lit[:, 7:8]
+
+    lit_pos = lit_dir * lit_dist
+    new_vec = lit_pos[None] - position[:, None]          # [B, N, 3]
+    new_dist = jnp.linalg.norm(new_vec, axis=-1, keepdims=True)
+    new_dir = new_vec / jnp.maximum(new_dist, 1e-12)
+    new_ster = lit_ster[None] * lit_dist[None] ** 2 / (new_dist ** 2 + 1e-8)
+
+    B = position.shape[0]
+    col = jnp.broadcast_to(lit_col[None], (B,) + lit_col.shape)
+    return jnp.concatenate([col, new_dir, new_dist, new_ster], axis=-1)
+
+
+def surface_rendering_point_lit(point_lit: Array, albedo: Array,
+                                normal: Array, position: Array):
+    """Lambertian shading from 3-D point lights (spherical gaussians).
+
+    Reference: utils/surface_rendering.py:237-264.
+    """
+    lit = wrap_sg_lit(point_lit, position)
+    c = lit[..., :3]
+    l = lit[..., 3:6]
+    s = lit[..., 7:8]
+    diffuse_brdf, NoL = lambertian_brdf(albedo, normal, l)
+    shading = jnp.sum(c * NoL * s, axis=1)
+    diffuse = diffuse_brdf * shading
+    specular = jnp.zeros_like(diffuse)
+    return diffuse, diffuse, specular, shading
