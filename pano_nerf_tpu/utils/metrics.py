@@ -170,3 +170,40 @@ def ws_cos_similarity(pred: Array, gt: Array) -> Array:
     denom = (jnp.linalg.norm(pred, axis=-1) * jnp.linalg.norm(gt, axis=-1))
     cos = jnp.sum(pred * gt, axis=-1) / jnp.maximum(denom, 1e-12)
     return jnp.sum(cos * weights)
+
+
+# ---------------------------------------------------------------------------
+# Aggregate helpers + perceptual metric (reference utils/metrics.py:129-183,
+# 260-287)
+# ---------------------------------------------------------------------------
+
+def eval_errors(pred: Array, gt: Array) -> dict:
+    """PSNR + SSIM pair for [H, W, 3] (or batched) LDR images."""
+    return {"psnr": psnr(pred, gt), "ssim": ssim(pred, gt)}
+
+
+def calc_lpips(pred, gt, net: str = "vgg"):
+    """LPIPS perceptual distance via the optional `lpips` torch package.
+
+    Inputs in [0, 1], channels-last numpy. Returns a float, or None when the
+    optional dependency is absent (it is not part of the baked environment).
+    Reference: utils/metrics.py:260-268.
+    """
+    try:
+        import lpips as lpips_lib  # optional
+        import torch
+    except ImportError:
+        return None
+    loss_fn = lpips_lib.LPIPS(net=net)
+    to_t = lambda x: torch.from_numpy(
+        np.asarray(x, np.float32)).permute(2, 0, 1)[None] * 2 - 1
+    with torch.no_grad():
+        return float(loss_fn(to_t(pred), to_t(gt)))
+
+
+def summarize_metrics(records: list) -> dict:
+    """Mean of each numeric key over a list of per-image metric dicts."""
+    keys = {k for r in records for k, v in r.items()
+            if isinstance(v, (int, float))}
+    return {k: float(np.mean([r[k] for r in records if k in r]))
+            for k in sorted(keys)}
