@@ -91,6 +91,21 @@ def read_exr(filename: Union[str, "object"], channels: Sequence[str] = ("R", "G"
         with open(filename, "rb") as f:
             buf = f.read()
 
+    # Fast path: native C++ decoder (pano_nerf_tpu/native), built lazily.
+    try:
+        from pano_nerf_tpu.native.build import native_read_exr
+        planes = native_read_exr(buf)
+    except Exception:
+        planes = None
+    if planes is not None:
+        missing = [c for c in channels if c not in planes]
+        if not missing:
+            return np.stack([planes[c] for c in channels], axis=-1)
+        if len(planes) == 1:
+            only = next(iter(planes.values()))
+            return np.stack([only] * len(channels), axis=-1)
+        # fall through to the pure-Python reader for exotic channel sets
+
     magic, version = struct.unpack_from("<ii", buf, 0)
     if magic != _MAGIC:
         raise ValueError("not an EXR file")
