@@ -1,1 +1,1 @@
-from pano_nerf_tpu.utils import metrics, vis  # noqa: F401
+from pano_nerf_tpu.utils import metrics, profiling, rotation, spherical, vis  # noqa: F401

@@ -1,0 +1,91 @@
+"""Config-system tests: dot-key flattening, literal_eval coercion, merge
+precedence — the reference's exact semantics (configs/config.py)."""
+
+import os
+
+import pytest
+import yaml
+
+from pano_nerf_tpu.core import config as cfg
+
+
+@pytest.fixture
+def tmp_yaml(tmp_path):
+    def write(name, data):
+        p = str(tmp_path / name)
+        with open(p, "w") as fp:
+            yaml.safe_dump(data, fp)
+        return p
+    return write
+
+
+class TestParsing:
+    def test_nested_to_dot_keys(self, tmp_yaml):
+        p = tmp_yaml("a.yaml", {"nerf": {"mlp": {"net_width": 256}}})
+        assert cfg.load(p) == {"nerf.mlp.net_width": 256}
+
+    def test_literal_eval_coercion(self, tmp_yaml):
+        p = tmp_yaml("a.yaml", {
+            "a": "None", "b": "2e-4", "c": "[1, 2]", "d": "plain_string"})
+        got = cfg.load(p)
+        assert got["a"] is None
+        assert got["b"] == 2e-4
+        assert got["c"] == (1, 2)  # lists become tuples
+        assert got["d"] == "plain_string"
+
+    def test_ture_typo_stays_truthy(self, tmp_yaml):
+        """The reference's shipped configs contain `append_identity: Ture`
+        (configs/panonerf.yaml:44); literal_eval fails and the truthy string
+        survives. Behavior preserved."""
+        p = tmp_yaml("a.yaml", {"nerf": {"append_identity": "Ture"}})
+        got = cfg.load(p)
+        assert got["nerf.append_identity"] == "Ture"
+        assert bool(got["nerf.append_identity"]) is True
+
+
+class TestMerging:
+    def test_file_then_opts_precedence(self, tmp_yaml):
+        base = tmp_yaml("base.yaml", {"train": {"batch_size": 512, "x": 1}})
+        config = cfg.load(base)
+        cfg.merge_from_list(config, ["train.batch_size", "1024"])
+        assert config["train.batch_size"] == 1024
+        assert config["train.x"] == 1
+
+    def test_merge_list_requires_pairs(self):
+        with pytest.raises(AssertionError):
+            cfg.merge_from_list({}, ["only_key"])
+
+    def test_unknown_key_warns_but_proceeds(self, capsys):
+        config = {"a": 1}
+        cfg.merge_from_config(config, {"new_key": 2}, check=True)
+        assert config["new_key"] == 2
+        assert "[Error]" in capsys.readouterr().out
+
+    def test_load_config_roundtrip(self):
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        hp = cfg.load_config(os.path.join(root, "configs", "panonerf.yaml"))
+        assert hp["nerf.mlp_name"] == "panonerf"
+        assert hp["train.batch_size"] == 512
+        assert hp["optimizer.lr_init"] == 2e-4
+        assert hp["checkpoint.resume_path"] is None
+
+    def test_cli_overrides(self):
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        hp = cfg.load_config(os.path.join(root, "configs", "mipnerf.yaml"),
+                             ["optimizer.max_steps", "100",
+                              "train.sample_num", "'n1_2'"])
+        assert hp["optimizer.max_steps"] == 100
+        assert hp["train.sample_num"] == "n1_2"
+
+
+class TestTrainPrep:
+    def test_sample_num_parsing_and_surface_fraction(self):
+        import train as train_mod
+
+        hp = {"seed": 0, "train.sample_num": "n45_46_72",
+              "nerf.mlp_name": "panonerf", "train.surface_start_step": 0.4,
+              "optimizer.max_steps": 1000, "out_dir": "/tmp/x_testprep"}
+        hp = train_mod.prepare_hparams(hp)
+        assert hp["train.sample_num"] == [45, 46, 72]
+        assert hp["train.surface_start_step"] == 400
+        assert hp["exp_name"] == "panonerf_45_46_72"

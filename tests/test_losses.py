@@ -1,0 +1,87 @@
+"""Training-loss composition tests for both systems."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pano_nerf_tpu.engine.losses import mipnerf_losses, pano_losses
+from pano_nerf_tpu.models.base import LevelOutput
+from pano_nerf_tpu.ops.shading import hdr_to_ldr
+
+HP = {
+    "loss.coarse_loss_mult": 0.1,
+    "loss.surface_loss": 1.0,
+    "loss.ort_loss": 0.1,
+    "loss.chrom_loss": 0.1,
+}
+
+
+def level(rgb, **kw):
+    B = rgb.shape[0]
+    return LevelOutput(rgb=rgb, distance=jnp.ones((B,)), acc=jnp.ones((B,)),
+                       **kw)
+
+
+class TestPanoLosses:
+    def test_perfect_prediction_zero_recon(self):
+        B = 16
+        gt = jnp.abs(jnp.sin(jnp.arange(B * 3.0))).reshape(B, 3) * 2
+        # GT is quantized to 8 bits while predictions are continuous, so
+        # "perfect" HDR prediction leaves only quantization residue.
+        mask = jnp.ones((B, 1))
+        outs = [level(gt), level(gt, normal=jnp.ones((B, 3)),
+                                 albedo=jnp.full((B, 3), 0.5),
+                                 surf_rgb=gt,
+                                 ort_loss=jnp.asarray(0.0))]
+        parts = pano_losses(outs, gt, mask, HP, enable_surf=True)
+        q_err = float(jnp.mean((hdr_to_ldr(gt) - hdr_to_ldr(gt, quantize=True)) ** 2))
+        assert float(parts["vol_fine"]) <= q_err * 4
+        assert float(parts["vol_surface"]) <= q_err * 4
+
+    def test_composition_weights(self):
+        B = 4
+        gt = jnp.ones((B, 3))
+        pred = jnp.zeros((B, 3))
+        mask = jnp.ones((B, 1))
+        outs = [level(pred), level(pred, normal=jnp.ones((B, 3)),
+                                   albedo=jnp.full((B, 3), 0.5),
+                                   surf_rgb=pred,
+                                   ort_loss=jnp.asarray(2.0))]
+        parts = pano_losses(outs, gt, mask, HP, enable_surf=True)
+        expect = (0.1 * parts["vol_coarse"] + parts["vol_fine"]
+                  + 1.0 * parts["vol_surface"] + 0.1 * parts["chrom"]
+                  + 0.1 * 2.0)
+        np.testing.assert_allclose(float(parts["loss"]), float(expect),
+                                   rtol=1e-6)
+
+    def test_surface_disabled_drops_terms(self):
+        B = 4
+        gt = jnp.ones((B, 3))
+        outs = [level(jnp.zeros((B, 3))),
+                level(jnp.zeros((B, 3)), ort_loss=jnp.asarray(1.0))]
+        parts = pano_losses(outs, gt, jnp.ones((B, 1)), HP, enable_surf=False)
+        assert parts["vol_surface"] is None
+        assert parts["chrom"] is None
+        assert parts["ort"] is not None
+
+    def test_mask_weighting(self):
+        """Rays with lossmult 0 must not contribute."""
+        gt = jnp.asarray([[1.0, 1, 1], [1, 1, 1]])
+        pred = jnp.asarray([[1.0, 1, 1], [0, 0, 0]])
+        mask = jnp.asarray([[1.0], [0.0]])
+        outs = [level(pred), level(pred, ort_loss=None)]
+        parts = pano_losses(outs, gt, mask, HP, enable_surf=False)
+        q = float(jnp.mean((hdr_to_ldr(gt[0]) - hdr_to_ldr(gt[0], quantize=True)) ** 2))
+        assert float(parts["vol_fine"]) <= q * 4 + 1e-6
+
+
+class TestMipNerfLosses:
+    def test_ort_only_when_weighted(self):
+        B = 4
+        gt = jnp.ones((B, 3))
+        outs = [level(jnp.zeros((B, 3))),
+                level(jnp.zeros((B, 3)), ort_loss=jnp.asarray(3.0))]
+        hp0 = dict(HP, **{"loss.ort_loss": 0})
+        p0 = mipnerf_losses(outs, gt, jnp.ones((B, 1)), hp0)
+        p1 = mipnerf_losses(outs, gt, jnp.ones((B, 1)), HP)
+        np.testing.assert_allclose(float(p1["loss"]) - float(p0["loss"]),
+                                   0.1 * 3.0, rtol=1e-5)
