@@ -90,8 +90,13 @@ def pack_params(params, num_density_channels: int):
     C = num_density_channels
 
     def padw(w, rows, cols):
-        out = jnp.zeros((rows, cols), F32)
-        return out.at[: w.shape[0], : w.shape[1]].set(w).astype(BF16)
+        # Row ("K") dims stay unpadded — Mosaic tiles non-128 contraction
+        # dims internally; only head output columns get padded (for the
+        # shared rgb|density output block).
+        if cols == w.shape[1]:
+            return w.astype(BF16)
+        out = jnp.zeros((w.shape[0], cols), F32)
+        return out.at[:, : w.shape[1]].set(w).astype(BF16)
 
     def padb(b, cols):
         out = jnp.zeros((1, cols), F32)
@@ -101,20 +106,20 @@ def pack_params(params, num_density_channels: int):
     wva = p["view_0"]["kernel"]          # [256 + 27, 128]
     width = p["trunk_1"]["kernel"].shape[0]
     packed = dict(
-        w0=padw(p["trunk_0"]["kernel"], X_PAD, width),
-        w1=padw(p["trunk_1"]["kernel"], width, width),
-        w2=padw(p["trunk_2"]["kernel"], width, width),
-        w3=padw(p["trunk_3"]["kernel"], width, width),
-        w4=padw(p["trunk_4"]["kernel"], width, width),
-        w5a=padw(w5[:width], width, width),
-        w5b=padw(w5[width:], X_PAD, width),
-        w6=padw(p["trunk_6"]["kernel"], width, width),
-        w7=padw(p["trunk_7"]["kernel"], width, width),
-        wd=padw(p["density"]["kernel"], width, OUT_PAD),
-        wb=padw(p["bottleneck"]["kernel"], width, width),
-        wva=padw(wva[:width], width, wva.shape[1]),
-        wvb=padw(wva[width:], V_PAD, wva.shape[1]),
-        wc=padw(p["color"]["kernel"], wva.shape[1], OUT_PAD),
+        w0=padw(p["trunk_0"]["kernel"], None, width),
+        w1=padw(p["trunk_1"]["kernel"], None, width),
+        w2=padw(p["trunk_2"]["kernel"], None, width),
+        w3=padw(p["trunk_3"]["kernel"], None, width),
+        w4=padw(p["trunk_4"]["kernel"], None, width),
+        w5a=padw(w5[:width], None, width),
+        w5b=padw(w5[width:], None, width),
+        w6=padw(p["trunk_6"]["kernel"], None, width),
+        w7=padw(p["trunk_7"]["kernel"], None, width),
+        wd=padw(p["density"]["kernel"], None, OUT_PAD),
+        wb=padw(p["bottleneck"]["kernel"], None, width),
+        wva=padw(wva[:width], None, wva.shape[1]),
+        wvb=padw(wva[width:], None, wva.shape[1]),
+        wc=padw(p["color"]["kernel"], None, OUT_PAD),
         b0=padb(p["trunk_0"]["bias"], width),
         b1=padb(p["trunk_1"]["bias"], width),
         b2=padb(p["trunk_2"]["bias"], width),
@@ -147,19 +152,19 @@ def unpack_grads(grads: Tuple, params, num_density_channels: int):
     gd = jnp.roll(g["wd"], -3, axis=1)
     gbd = jnp.roll(g["bd"], -3, axis=1)
     out = {
-        "trunk_0": {"kernel": g["w0"][:xdim], "bias": g["b0"][0]},
+        "trunk_0": {"kernel": g["w0"], "bias": g["b0"][0]},
         "trunk_1": {"kernel": g["w1"], "bias": g["b1"][0]},
         "trunk_2": {"kernel": g["w2"], "bias": g["b2"][0]},
         "trunk_3": {"kernel": g["w3"], "bias": g["b3"][0]},
         "trunk_4": {"kernel": g["w4"], "bias": g["b4"][0]},
         "trunk_5": {"kernel": jnp.concatenate(
-            [g["w5a"], g["w5b"][:xdim]], axis=0), "bias": g["b5"][0]},
+            [g["w5a"], g["w5b"]], axis=0), "bias": g["b5"][0]},
         "trunk_6": {"kernel": g["w6"], "bias": g["b6"][0]},
         "trunk_7": {"kernel": g["w7"], "bias": g["b7"][0]},
         "density": {"kernel": gd[:, :C], "bias": gbd[0, :C]},
         "bottleneck": {"kernel": g["wb"], "bias": g["bb"][0]},
         "view_0": {"kernel": jnp.concatenate(
-            [g["wva"], g["wvb"][:vdim]], axis=0), "bias": g["bv"][0]},
+            [g["wva"], g["wvb"]], axis=0), "bias": g["bv"][0]},
         "color": {"kernel": g["wc"][:cw, :3], "bias": g["bc"][0, :3]},
     }
     return {"params": jax.tree.map(lambda x: x.astype(F32), out)}
@@ -200,11 +205,11 @@ def _fwd_kernel(x_ref, v_ref, *refs):
 
 def _pallas_forward(x: jax.Array, v: jax.Array, packed: Tuple) -> jax.Array:
     M = x.shape[0]
-    grid = (M // BLOCK_M,)
+    grid = (pl.cdiv(M, BLOCK_M),)
     const = lambda *_: (0, 0)
-    win = [pl.BlockSpec((BLOCK_M, X_PAD), lambda i: (i, 0),
+    win = [pl.BlockSpec((BLOCK_M, x.shape[1]), lambda i: (i, 0),
                         memory_space=pltpu.VMEM),
-           pl.BlockSpec((BLOCK_M, V_PAD), lambda i: (i, 0),
+           pl.BlockSpec((BLOCK_M, v.shape[1]), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)]
     win += [pl.BlockSpec(p.shape, const, memory_space=pltpu.VMEM)
             for p in packed]
@@ -222,7 +227,7 @@ def _pallas_forward(x: jax.Array, v: jax.Array, packed: Tuple) -> jax.Array:
 # Backward kernel (recompute forward, backprop, accumulate weight grads)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(x_ref, v_ref, *refs):
+def _bwd_kernel(x_ref, v_ref, *refs, num_rows: int):
     g_ref = refs[14 + 12]
     dx_ref = refs[14 + 12 + 1]
     grad_refs = refs[14 + 12 + 2:]
@@ -235,8 +240,14 @@ def _bwd_kernel(x_ref, v_ref, *refs):
         for r in grad_refs:
             r[:] = jnp.zeros_like(r)
 
-    x = x_ref[:]
-    v = v_ref[:]
+    # Ragged last block: rows beyond num_rows hold undefined data (possibly
+    # NaN bit patterns) — select them to zero so they cannot contaminate the
+    # weight-gradient accumulation. num_rows is static.
+    row_ids = (pl.program_id(0) * BLOCK_M
+               + jax.lax.broadcasted_iota(jnp.int32, (BLOCK_M, 1), 0))
+    valid = row_ids < num_rows
+    x = jnp.where(valid, x_ref[:], 0).astype(BF16)
+    v = jnp.where(valid, v_ref[:], 0).astype(BF16)
 
     # --- recompute forward, keeping activations ---
     h7, acts = _trunk_forward(x, ws, bs)
@@ -244,7 +255,7 @@ def _bwd_kernel(x_ref, v_ref, *refs):
     zv = _f32dot(btl, ws["wva"]) + _f32dot(v, ws["wvb"]) + bs["bv"]
     hv = jnp.maximum(zv, 0.0).astype(BF16)
 
-    g = g_ref[:]                      # [B, OUT_PAD] f32 cotangent
+    g = jnp.where(valid, g_ref[:], 0.0)  # [B, OUT_PAD] f32 cotangent
     g_rgb = (g * (jax.lax.broadcasted_iota(jnp.int32, g.shape, 1) < 3)
              ).astype(BF16)
     mask_d = (jax.lax.broadcasted_iota(jnp.int32, g.shape, 1) >= 3)
@@ -269,7 +280,7 @@ def _bwd_kernel(x_ref, v_ref, *refs):
     dh = _dot_nt(dbtl, ws["wb"]) + _dot_nt(g_density, ws["wd"])
 
     # --- trunk backward ---
-    dx = jnp.zeros((x.shape[0], X_PAD), F32)
+    dx = jnp.zeros((x.shape[0], x.shape[1]), F32)
     for i in range(7, -1, -1):
         h_i = acts[i]
         h_prev = acts[i - 1] if i > 0 else x
@@ -289,24 +300,26 @@ def _bwd_kernel(x_ref, v_ref, *refs):
 
 
 def _pallas_backward(x, v, packed, g):
+    import functools
+
     M = x.shape[0]
-    grid = (M // BLOCK_M,)
+    grid = (pl.cdiv(M, BLOCK_M),)
     const = lambda *_: (0, 0)
     row = lambda shape: pl.BlockSpec((BLOCK_M, shape), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM)
-    in_specs = [row(X_PAD), row(V_PAD)]
+    in_specs = [row(x.shape[1]), row(v.shape[1])]
     in_specs += [pl.BlockSpec(p.shape, const, memory_space=pltpu.VMEM)
                  for p in packed]
     in_specs += [row(OUT_PAD)]
 
-    out_shapes = [jax.ShapeDtypeStruct((M, X_PAD), F32)]
-    out_specs = [row(X_PAD)]
+    out_shapes = [jax.ShapeDtypeStruct((M, x.shape[1]), F32)]
+    out_specs = [row(x.shape[1])]
     for p in packed:
         out_shapes.append(jax.ShapeDtypeStruct(p.shape, F32))
         out_specs.append(pl.BlockSpec(p.shape, const,
                                       memory_space=pltpu.VMEM))
     outs = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, num_rows=M),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -356,16 +369,8 @@ def fused_mlp_apply(params, x_enc: jax.Array, v_enc: jax.Array,
     x = x_enc.reshape(-1, x_enc.shape[-1])
     v = jnp.broadcast_to(v_enc, lead + (v_enc.shape[-1],)).reshape(
         -1, v_enc.shape[-1])
-    M = x.shape[0]
-    pad_m = (-M) % BLOCK_M
-
-    xp = jnp.zeros((M + pad_m, X_PAD), BF16)
-    xp = xp.at[:M, : x.shape[-1]].set(x.astype(BF16))
-    vp = jnp.zeros((M + pad_m, V_PAD), BF16)
-    vp = vp.at[:M, : v.shape[-1]].set(v.astype(BF16))
-
     packed = pack_params(params, num_density_channels)
-    out = _fused_core(xp, vp, packed)[:M]
+    out = _fused_core(x.astype(BF16), v.astype(BF16), packed)
     rgb = out[:, :3].reshape(lead + (3,))
     density = out[:, 3:3 + num_density_channels].reshape(
         lead + (num_density_channels,))

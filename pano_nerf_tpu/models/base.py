@@ -82,9 +82,13 @@ class BaseNeRF:
     # Use the fused Pallas MLP kernel on first-order subgraphs (coarse level,
     # secondary env queries, eval). Auto-disabled off-TPU at call time.
     # Default off: the kernel wins in isolation (~15% on fwd+bwd) but the
-    # current integration (input padding + custom_vjp fusion barriers) gives
-    # it back; flip on after in-kernel IPE/compositing fusion lands.
+    # current integration (custom_vjp fusion barriers) gives it back; flip on
+    # after in-kernel IPE/compositing fusion lands.
     use_fused_kernel: bool = False
+    # Rematerialize the encode->MLP->activations graph in the backward pass
+    # (jax.checkpoint): trades ~1 extra forward for not storing per-layer
+    # activations, which un-spills large ray batches.
+    remat: bool = False
 
     # ----- construction -------------------------------------------------
 

@@ -67,15 +67,19 @@ class PanoMipNeRF(BaseNeRF):
             fine_level = (i_level == self.num_levels - 1
                           and self.num_levels >= 2)
 
-            def graph(m, covs=covs, viewdirs=rays.viewdirs,
-                      noise_key=keys[2 * i_level + 1],
-                      fused=first_order or not fine_level):
-                raw_rgb, raw_density = self._raw_outputs(
-                    params, m, covs, viewdirs, fused=fused)
-                raw_sigma, albedo, roughness = self._split_heads(raw_density)
-                rgb, density = self._activate_rgb_density(
-                    raw_rgb, raw_sigma, noise_key, randomized)
-                return rgb, density, albedo, roughness
+            def make_graph(covs, viewdirs, noise_key, fused):
+                def fn(m):
+                    raw_rgb, raw_density = self._raw_outputs(
+                        params, m, covs, viewdirs, fused=fused)
+                    raw_sigma, albedo, roughness = self._split_heads(
+                        raw_density)
+                    rgb, density = self._activate_rgb_density(
+                        raw_rgb, raw_sigma, noise_key, randomized)
+                    return rgb, density, albedo, roughness
+                return jax.checkpoint(fn) if self.remat else fn
+
+            graph = make_graph(covs, rays.viewdirs, keys[2 * i_level + 1],
+                               fused=first_order or not fine_level)
 
             fine = fine_level
             if fine:
@@ -116,10 +120,9 @@ class PanoMipNeRF(BaseNeRF):
                     env_rays.radii, randomized)
 
                 # Secondary radiance query: [B, D, S, .] — always first-order
-                # (its output feeds the loss directly), so always fused.
-                e_rgb, e_density, _, _ = graph(
-                    lit_means, covs=lit_covs, viewdirs=lit_dirs,
-                    noise_key=None, fused=True)
+                # (its output feeds the loss directly), so may always fuse.
+                env_graph = make_graph(lit_covs, lit_dirs, None, fused=True)
+                e_rgb, e_density, _, _ = env_graph(lit_means)
                 env_rgb, *_ = mip.volumetric_rendering(
                     e_rgb, e_density, lit_t, lit_dirs, white_bkgd=False)
 

@@ -266,24 +266,42 @@ def expected_sin(x: Array, x_var: Array) -> Array:
     return jnp.exp(-0.5 * x_var) * jnp.sin(x)
 
 
+def _scale_select_matrix(dims: int, min_deg: int, max_deg: int,
+                         squared: bool) -> np.ndarray:
+    """[dims, L*dims] selection-and-scale matrix: column j = deg*dims + d
+    picks input dim d scaled by 2^deg (or 4^deg). Lets the frequency
+    broadcast run as one MXU matmul instead of building [..., L, dims]
+    intermediates whose tiny minor dim wastes ~97% of each vector lane."""
+    L = max_deg - min_deg
+    sel = np.zeros((dims, L * dims), np.float32)
+    for deg in range(L):
+        s = (4.0 if squared else 2.0) ** (min_deg + deg)
+        for d in range(dims):
+            sel[d, deg * dims + d] = s
+    return sel
+
+
 def integrated_pos_enc(means: Array, covs_diag: Array, min_deg: int,
                        max_deg: int) -> Array:
     """Integrated positional encoding of Gaussians (diagonal covariance).
 
     Output feature order matches the reference exactly: degree-major then
     dimension, sin block then cos block
-    (/root/reference/models/mip.py:394-428).
+    (/root/reference/models/mip.py:394-428). The per-degree broadcast is
+    expressed as a matmul with an exact power-of-two selection matrix —
+    values up to 2^16 are exactly representable, so this is bitwise
+    equivalent to the broadcast-and-reshape form but TPU-layout friendly.
 
     Args:
       means, covs_diag: [..., 3].
     Returns:
       [..., 2 * 3 * (max_deg - min_deg)].
     """
-    scales = jnp.asarray([2.0 ** i for i in range(min_deg, max_deg)],
-                         dtype=means.dtype)
-    shape = means.shape[:-1] + (-1,)
-    y = (means[..., None, :] * scales[:, None]).reshape(shape)
-    y_var = (covs_diag[..., None, :] * scales[:, None] ** 2).reshape(shape)
+    dims = means.shape[-1]
+    sel = jnp.asarray(_scale_select_matrix(dims, min_deg, max_deg, False))
+    sel_sq = jnp.asarray(_scale_select_matrix(dims, min_deg, max_deg, True))
+    y = means @ sel
+    y_var = covs_diag @ sel_sq
     return expected_sin(
         jnp.concatenate([y, y + 0.5 * jnp.pi], axis=-1),
         jnp.concatenate([y_var, y_var], axis=-1))
@@ -291,10 +309,11 @@ def integrated_pos_enc(means: Array, covs_diag: Array, min_deg: int,
 
 def pos_enc(x: Array, min_deg: int, max_deg: int,
             append_identity: bool = True) -> Array:
-    """Classic NeRF positional encoding. Reference models/mip.py:431-441."""
-    scales = jnp.asarray([2.0 ** i for i in range(min_deg, max_deg)],
-                         dtype=x.dtype)
-    xb = (x[..., None, :] * scales[:, None]).reshape(x.shape[:-1] + (-1,))
+    """Classic NeRF positional encoding. Reference models/mip.py:431-441.
+    Uses the same matmul-broadcast trick as `integrated_pos_enc`."""
+    sel = jnp.asarray(
+        _scale_select_matrix(x.shape[-1], min_deg, max_deg, False))
+    xb = x @ sel
     four_feat = jnp.sin(jnp.concatenate([xb, xb + 0.5 * jnp.pi], axis=-1))
     if append_identity:
         return jnp.concatenate([x, four_feat], axis=-1)
