@@ -138,9 +138,21 @@ class Trainer:
         if sanity_val and start_step == 0:
             self.validate(state, step=0, max_images=1)
 
+        # Optional profiler capture of a step window
+        # (config: profile_dir + profile_steps).
+        profile_dir = hp.get("profile_dir")
+        profile_at = int(hp.get("profile_start_step", 10))
+        profile_n = int(hp.get("profile_steps", 5))
+
         t0 = time.perf_counter()
         rays_done = 0
         for step in range(start_step, self.max_steps):
+            if profile_dir and step == profile_at:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and step == profile_at + profile_n:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                print(f"[profile] trace written to {profile_dir}")
             batch = next(batch_iter)
             batch = system.shard_batch(batch)
             surf = steps_with_surface and step >= self.surface_start_step

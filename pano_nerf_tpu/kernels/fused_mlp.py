@@ -300,7 +300,6 @@ def _bwd_kernel(x_ref, v_ref, *refs, num_rows: int):
 
 
 def _pallas_backward(x, v, packed, g):
-    import functools
 
     M = x.shape[0]
     grid = (pl.cdiv(M, BLOCK_M),)

@@ -1,0 +1,101 @@
+"""Quality benchmark: time-to-target ws-PSNR on the synthetic pano scene.
+
+Trains the panonerf config from scratch on a generated scene and reports
+wall-clock time and step count to reach a target LDR ws-PSNR (default 25 dB)
+plus the final quality — the "time-to-quality" half of BASELINE.md's metric
+pair (rays/sec/chip is bench.py).
+
+Usage: python scripts/bench_quality.py [--target 25] [--max_steps 20000]
+Prints one JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target", type=float, default=25.0,
+                    help="LDR ws-PSNR target (dB)")
+    ap.add_argument("--max_steps", type=int, default=20000)
+    ap.add_argument("--batch_size", type=int, default=1024)
+    ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--val_every", type=int, default=1000)
+    args = ap.parse_args()
+
+    import jax
+
+    from pano_nerf_tpu.core.config import load_config
+    from pano_nerf_tpu.data.synthetic import generate_scene
+    from pano_nerf_tpu.engine.trainer import Trainer
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scene = tempfile.mkdtemp(prefix="bench_scene_")
+    out = tempfile.mkdtemp(prefix="bench_exp_")
+    generate_scene(scene, n_views=6, height=args.height, width=args.width)
+
+    hp = load_config(os.path.join(root, "configs", "panonerf.yaml"))
+    hp.update({
+        "data_path": scene,
+        "save_dir": out,
+        "range": (0, 10),
+        "train.factor": 1,
+        "val.factor": 1,
+        "train.sample_num": [0, 1, 2],
+        "train.batch_size": args.batch_size,
+        "optimizer.max_steps": args.max_steps,
+        "val.check_every_n_epoch": 10 ** 9,  # manual validation below
+        "val.chunk_size": 4096,
+        "log_every_n_step": 10 ** 9,
+        "parallel.num_devices": 1,
+    })
+
+    trainer = Trainer(hp)
+    system = trainer.system
+    state = system.create_state(jax.random.PRNGKey(hp["seed"]))
+    batch_iter = trainer.train_dataset.iter_batches(args.batch_size,
+                                                    seed=hp["seed"])
+    step_fn = system.make_train_step(enable_surf=True)
+    key = jax.random.PRNGKey(1)
+
+    t0 = time.perf_counter()
+    compile_done = None
+    hit_step, hit_time = None, None
+    psnr_curve = []
+    for step in range(args.max_steps):
+        batch = system.shard_batch(next(batch_iter))
+        state, parts = step_fn(state, batch, key)
+        if step == 0:
+            jax.block_until_ready(state.params)
+            compile_done = time.perf_counter() - t0
+        if (step + 1) % args.val_every == 0:
+            m = trainer.validate(state, step + 1, max_images=1)
+            psnr_curve.append((step + 1, m["psnr_ldr_vol"]))
+            if hit_step is None and m["psnr_ldr_vol"] >= args.target:
+                hit_step = step + 1
+                hit_time = time.perf_counter() - t0 - compile_done
+                break
+
+    total = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"time_to_{args.target:g}dB_ldr_ws_psnr",
+        "value": round(hit_time, 1) if hit_time is not None else None,
+        "unit": "s",
+        "steps_to_target": hit_step,
+        "compile_s": round(compile_done, 1),
+        "psnr_curve": [(s, round(p, 2)) for s, p in psnr_curve],
+        "total_s": round(total, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,15 @@ def prepare_hparams(hparams: dict) -> dict:
 def main() -> None:
     hparams = prepare_hparams(parse_args(build_parser()))
 
+    # Multi-host SPMD: when launched under a multi-process runtime (one
+    # process per host of a TPU slice), initialize the distributed client so
+    # jax.devices() spans the slice and sharded batches assemble via
+    # make_array_from_process_local_data.
+    if os.environ.get("PANO_NERF_MULTIHOST"):
+        import jax
+
+        jax.distributed.initialize()
+
     from pano_nerf_tpu.engine.trainer import Trainer  # defer jax import
 
     trainer = Trainer(hparams)
