@@ -85,12 +85,15 @@ def ssim(img1: Array, img2: Array, window_size: int = 11,
 
     def filt(x):
         # Depthwise conv: [B, H, W, C] with a single 2-D kernel per channel.
+        # precision=HIGHEST: on TPU the default conv runs in bf16 passes,
+        # and SSIM's variance terms (E[x^2] - mu^2) are catastrophic
+        # cancellations — bf16 moments push the score far above 1.
         c = x.shape[-1]
         k = jnp.tile(kernel[:, :, None, None], (1, 1, 1, c))
         return jax.lax.conv_general_dilated(
             x, k, window_strides=(1, 1), padding=[(pad, pad), (pad, pad)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c)
+            feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
 
     mu1, mu2 = filt(img1), filt(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 ** 2, mu2 ** 2, mu1 * mu2

@@ -17,6 +17,17 @@ class TestBasic:
         img = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
         assert float(M.ssim(img, img)) > 0.999
 
+    def test_ssim_never_exceeds_one_low_variance(self):
+        """Near-identical, low-variance images are the catastrophic-
+        cancellation case for the moment estimates: with reduced-precision
+        convs SSIM shoots past 1 (regression guard for the TPU bf16-conv
+        default)."""
+        rng = np.random.default_rng(0)
+        base = rng.uniform(0.4, 0.6, (64, 128, 3)).astype(np.float32)
+        near = base + rng.normal(0, 1e-4, base.shape).astype(np.float32)
+        s = float(M.ssim(jnp.asarray(base), jnp.asarray(near)))
+        assert 0.99 < s <= 1.0 + 1e-4, s
+
     def test_ssim_decreases_with_noise(self):
         rng = np.random.default_rng(0)
         img = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
