@@ -58,6 +58,20 @@ class BaseSystem:
     def shard_batch(self, batch):
         return mesh_lib.shard_batch(self.mesh, batch)
 
+    @staticmethod
+    def render_normal(normal_img, w2c: np.ndarray):
+        """World->camera normal transform for display, [H, W, 3] @ w2c^T.
+
+        Reference: systems/base_system.py:108-110 (CHW there, HWC here).
+        """
+        return normal_img @ np.asarray(w2c).T
+
+    def clamp_depth(self, depth):
+        """Clamp depth into the scene's [near, far] range
+        (reference systems/base_system.py:112-115)."""
+        near, far = self.hparams["range"]
+        return jnp.clip(depth, near, far)
+
     def _apply_updates(self, state: TrainState, grads) -> TrainState:
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)

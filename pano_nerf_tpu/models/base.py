@@ -185,16 +185,22 @@ class BaseNeRF:
         """
         if self.disable_integration:
             covs = jnp.zeros_like(covs)
+        if fused and self._fused_ok():
+            # v2 kernel: IPE computed in-kernel from raw Gaussian moments.
+            from pano_nerf_tpu.kernels.fused_mlp_ipe import fused_mlp_ipe_apply
+            viewdirs_enc = mip.pos_enc(
+                viewdirs, 0, self.deg_view,
+                self.append_identity)[..., None, :]
+            return fused_mlp_ipe_apply(
+                params, means, covs, viewdirs_enc,
+                self.mlp_num_density_channels, self.min_deg_point,
+                self.max_deg_point)
         samples_enc = mip.integrated_pos_enc(
             means, covs, self.min_deg_point, self.max_deg_point)
         if not self.use_viewdirs:
             return self.mlp.apply(params, samples_enc)
         viewdirs_enc = mip.pos_enc(
             viewdirs, 0, self.deg_view, self.append_identity)[..., None, :]
-        if fused and self._fused_ok():
-            from pano_nerf_tpu.kernels.fused_mlp import fused_mlp_apply
-            return fused_mlp_apply(params, samples_enc, viewdirs_enc,
-                                   self.mlp_num_density_channels)
         return self.mlp.apply(params, samples_enc, viewdirs_enc)
 
     def _activate_rgb_density(self, raw_rgb: Array, raw_density_1ch: Array,

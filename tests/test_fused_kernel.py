@@ -83,3 +83,59 @@ class TestFusedMLP:
         r1, d1 = mlp.apply(params, x, v)
         r2, d2 = fused_mlp_apply(params, x, v, 5)
         np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=5e-3)
+
+
+@requires_tpu
+class TestFusedIPE:
+    """v2 kernel: IPE computed in-kernel from raw Gaussian moments."""
+
+    def _setup(self, C=5, M=2048):
+        from pano_nerf_tpu.models.mlp import NerfMLP
+        from pano_nerf_tpu.ops import mip
+
+        mlp = NerfMLP(num_density_channels=C, dtype=jnp.bfloat16)
+        key = jax.random.PRNGKey(0)
+        means = jax.random.normal(key, (M, 3)) * 2
+        covs = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (M, 3))) * 0.01
+        v = jax.random.normal(jax.random.PRNGKey(1), (M, 27)) * 0.5
+        x = mip.integrated_pos_enc(means, covs, 0, 16)
+        params = mlp.init(key, x[:2], v[:2])
+        return mlp, params, means, covs, v
+
+    def test_forward_parity(self):
+        from pano_nerf_tpu.kernels.fused_mlp_ipe import fused_mlp_ipe_apply
+        from pano_nerf_tpu.ops import mip
+
+        mlp, params, means, covs, v = self._setup()
+        x = mip.integrated_pos_enc(means, covs, 0, 16)
+        r1, d1 = jax.jit(lambda p: mlp.apply(p, x, v))(params)
+        r2, d2 = jax.jit(lambda p: fused_mlp_ipe_apply(
+            p, means, covs, v, 5, 0, 16))(params)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=5e-3)
+
+    def test_grad_parity(self):
+        import jax.flatten_util
+
+        from pano_nerf_tpu.kernels.fused_mlp_ipe import fused_mlp_ipe_apply
+        from pano_nerf_tpu.ops import mip
+
+        mlp, params, means, covs, v = self._setup()
+        loss = lambda rd: jnp.sum(jnp.sin(rd[0])) + jnp.sum(jnp.cos(rd[1]))
+        g1 = jax.jit(jax.grad(lambda p: loss(mlp.apply(
+            p, mip.integrated_pos_enc(means, covs, 0, 16), v))))(params)
+        g2 = jax.jit(jax.grad(lambda p: loss(fused_mlp_ipe_apply(
+            p, means, covs, v, 5, 0, 16))))(params)
+        f1, _ = jax.flatten_util.ravel_pytree(g1)
+        f2, _ = jax.flatten_util.ravel_pytree(g2)
+        rel = float(jnp.linalg.norm(f1 - f2) / jnp.linalg.norm(f1))
+        assert rel < 5e-3, rel
+
+    def test_dmeans_flows(self):
+        from pano_nerf_tpu.kernels.fused_mlp_ipe import fused_mlp_ipe_apply
+
+        mlp, params, means, covs, v = self._setup(M=512)
+        g = jax.jit(jax.grad(lambda m: jnp.sum(jnp.sin(
+            fused_mlp_ipe_apply(params, m, covs, v, 5, 0, 16)[0]))))(means)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
