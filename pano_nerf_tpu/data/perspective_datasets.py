@@ -14,7 +14,7 @@ import json
 import os
 import struct
 from os import path
-from typing import List, Optional
+ 
 
 import numpy as np
 from PIL import Image

@@ -24,7 +24,7 @@ from typing import Dict, Optional
 import jax
 import numpy as np
 
-from pano_nerf_tpu.core.rays import Rays
+
 from pano_nerf_tpu.data.pano_dataset import PanoDataset
 from pano_nerf_tpu.engine import validation as val_lib
 from pano_nerf_tpu.engine.checkpoint import Checkpointer
