@@ -72,6 +72,7 @@ class Trainer:
             keep_every_n_steps=hparams.get("checkpoint.keep_every_n_steps", 0)
             or None)
         self.metrics_path = os.path.join(self.save_dir, "metrics.jsonl")
+        self._render_fn = None  # built+jitted once, reused across validations
 
     # ------------------------------------------------------------------
 
@@ -82,8 +83,10 @@ class Trainer:
     def validate(self, state, step: int, max_images: Optional[int] = None
                  ) -> Dict[str, float]:
         """Render every val pano, save products, return mean metrics."""
-        render_fn = self.system.make_render_image(
-            enable_surf=isinstance(self.system, PanoNeRFSystem))
+        if self._render_fn is None:
+            self._render_fn = self.system.make_render_image(
+                enable_surf=isinstance(self.system, PanoNeRFSystem))
+        render_fn = self._render_fn
         near, far = self.hparams["range"]
         save_dir = os.path.join(self.save_dir, f"val_{step:06d}")
         agg: Dict[str, list] = {}
@@ -166,6 +169,16 @@ class Trainer:
                 rps = rays_done / dt
                 scalars = {k: float(v) for k, v in parts.items()
                            if v is not None}
+                # Failure detection: a non-finite loss means the run is
+                # unrecoverable — stop with a checkpoint-preserving message
+                # instead of silently training on garbage.
+                if not np.isfinite(scalars["loss"]):
+                    self._log({"step": step + 1, "kind": "abort",
+                               "reason": "non-finite loss", **scalars})
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step + 1}: {scalars} — "
+                        f"last good checkpoint: "
+                        f"{self.ckpt.latest_step()} in {self.ckpt.directory}")
                 self._log({"step": step + 1, "kind": "train",
                            "rays_per_sec": rps, **scalars})
                 print(f"[{step + 1}/{self.max_steps}] "
