@@ -195,12 +195,18 @@ class BaseNeRF:
                 params, means, covs, viewdirs_enc,
                 self.mlp_num_density_channels, self.min_deg_point,
                 self.max_deg_point)
+        # Cast encodings to the compute dtype at the producer: the cast then
+        # fuses into the IPE elementwise graph and the fp32 feature tensor
+        # (the largest activation in the model) never reaches HBM. The MLP
+        # would cast anyway; values are identical.
         samples_enc = mip.integrated_pos_enc(
-            means, covs, self.min_deg_point, self.max_deg_point)
+            means, covs, self.min_deg_point,
+            self.max_deg_point).astype(self.compute_dtype)
         if not self.use_viewdirs:
             return self.mlp.apply(params, samples_enc)
         viewdirs_enc = mip.pos_enc(
-            viewdirs, 0, self.deg_view, self.append_identity)[..., None, :]
+            viewdirs, 0, self.deg_view,
+            self.append_identity)[..., None, :].astype(self.compute_dtype)
         return self.mlp.apply(params, samples_enc, viewdirs_enc)
 
     def _activate_rgb_density(self, raw_rgb: Array, raw_density_1ch: Array,
