@@ -27,8 +27,8 @@ import numpy as np
 # training step, batch 512 rays, on A100 (see module docstring).
 A100_REFERENCE_RAYS_PER_SEC = 11_800.0
 
-BATCH = 1024
-STEPS = 30
+BATCH = 512
+STEPS = 60
 WARMUP = 5
 
 
