@@ -1,19 +1,20 @@
 """Benchmark: Pano-NeRF training throughput (rays/sec/chip) on real hardware.
 
-Runs the full panonerf train step (surface path enabled: coarse+fine primary
-render, density-gradient normals, 10x10 secondary env rays, Lambertian
-surface rendering, all losses, Adam update) on synthetic bathroom-like data
-and reports sustained training rays/sec on one chip.
+Runs the production training configuration — device-resident dataset with
+on-device batch sampling, full panonerf step (coarse+fine primary render,
+density-gradient normals, 10x10 secondary env rays, Lambertian surface
+rendering, all losses, Adam) — and reports sustained training rays/sec on
+one chip.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 `vs_baseline` compares against the reference implementation's measured A100
 throughput for the same panonerf step (batch 512). The reference repo
-publishes no numbers (BASELINE.md); the constant below is our measured
-estimate of the torch+Lightning reference on A100-40GB: ~23 it/s at batch
-512 with the surface path ≈ 11.8k rays/s. Re-measure and update when a GPU
-host is available.
+publishes no numbers (BASELINE.md); the constant below is our estimate of
+the torch+Lightning reference on A100-40GB: ~23 it/s at batch 512 with the
+surface path = 11.8k rays/s. Re-measure and update when a GPU host is
+available.
 """
 
 import json
@@ -23,12 +24,12 @@ import time
 
 import numpy as np
 
-# Measured/estimated reference throughput: torch fp16-mixed panonerf
-# training step, batch 512 rays, on A100 (see module docstring).
+# Estimated reference throughput: torch fp16-mixed panonerf training step,
+# batch 512 rays, on A100 (see module docstring).
 A100_REFERENCE_RAYS_PER_SEC = 11_800.0
 
 BATCH = 512
-STEPS = 60
+STEPS = 120
 WARMUP = 5
 
 
@@ -53,21 +54,25 @@ def main():
     system = PanoNeRFSystem(hp, mesh)
     system.set_env_rays(generate_lit_rays(num=10, far=10.0))
     state = system.create_state(jax.random.PRNGKey(0))
-    step_fn = system.make_train_step(enable_surf=True)
 
-    rays = _make_rays(BATCH)
+    # Synthetic bathroom-scale dataset resident on device (3 panos at
+    # factor-4 Replica resolution ~= 98k rays).
+    n_rays = 98_304
+    rays = _make_rays(n_rays)
     rng = np.random.default_rng(0)
-    rgbs = np.abs(rng.standard_normal((BATCH, 3))).astype(np.float32) * 2.0
-    batch = system.shard_batch((rays, rgbs))
+    rgbs = np.abs(rng.standard_normal((n_rays, 3))).astype(np.float32) * 2.0
+    dataset = system.put_dataset_on_device(rays, rgbs)
+    step_fn = system.make_train_step_device_data(dataset, enable_surf=True,
+                                                 batch_size=BATCH)
     key = jax.random.PRNGKey(1)
 
     for _ in range(WARMUP):
-        state, parts = step_fn(state, batch, key)
+        state, parts = step_fn(state, key)
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        state, parts = step_fn(state, batch, key)
+        state, parts = step_fn(state, key)
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
 

@@ -128,6 +128,63 @@ class PanoNeRFSystem(BaseSystem):
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
+    def make_train_step_device_data(self, dataset, enable_surf: bool,
+                                    batch_size: int):
+        """Train step with a device-resident dataset: the ray batch is
+        sampled ON DEVICE each step (uniform with replacement) — no host
+        gather, no per-step host->device transfer. `dataset` is a
+        (Rays, rgbs) tuple of full flattened device arrays.
+
+        TPU-native replacement for the reference's 28-worker DataLoader:
+        at panoramic scales the whole flattened ray set (~100 MB) fits in
+        HBM, so "data loading" reduces to a fused device gather inside the
+        jitted step. (Sampling with replacement instead of epoch
+        permutations — statistically equivalent for SGD at these sizes.)
+        """
+        hp = self.hparams
+        use_ort = hp["loss.ort_loss"] > 0
+        env_rays = self.env_rays
+        assert env_rays is not None, "call set_env_rays() first"
+        rays_all, rgbs_all = dataset
+        n = rgbs_all.shape[0]
+        sharding = mesh_lib.batch_sharding(self.mesh)
+
+        def step_fn(state: TrainState, key: jax.Array):
+            step_key = jax.random.fold_in(key, state.step)
+            k_idx, k_model = jax.random.split(step_key)
+            idx = jax.random.randint(k_idx, (batch_size,), 0, n)
+            idx = jax.lax.with_sharding_constraint(idx, sharding)
+            rays = jax.tree.map(lambda x: x[idx], rays_all)
+            rgbs = rgbs_all[idx]
+            mask = rays.lossmult
+
+            def loss_fn(params):
+                outs = self.model(
+                    params, k_model, rays, env_rays,
+                    randomized=self.train_randomized,
+                    white_bkgd=self.white_bkgd, enable_surf=enable_surf,
+                    use_ort_loss=use_ort)
+                parts = losses_lib.pano_losses(outs, rgbs[..., :3], mask, hp,
+                                               enable_surf)
+                return parts["loss"], parts
+
+            (_, parts), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            return self._apply_updates(state, grads), parts
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def put_dataset_on_device(self, rays, images):
+        """Upload the flattened training set once, replicated over the mesh."""
+        import numpy as np
+
+        from pano_nerf_tpu.core.rays import rays_map
+        rep = mesh_lib.replicated_sharding(self.mesh)
+        rays_dev = rays_map(
+            lambda x: jax.device_put(np.asarray(x, np.float32), rep), rays)
+        rgbs_dev = jax.device_put(np.asarray(images, np.float32), rep)
+        return rays_dev, rgbs_dev
+
     def make_render_image(self, enable_surf: bool = True):
         """Returns jitted fn(params, rays_flat, num_rays) -> dict of [N, C]."""
         env_rays = self.env_rays
@@ -180,6 +237,40 @@ class MipNeRFSystem(BaseSystem):
             return self._apply_updates(state, grads), parts
 
         return jax.jit(step_fn, donate_argnums=(0,))
+
+    def make_train_step_device_data(self, dataset, enable_surf: bool,
+                                    batch_size: int):
+        """Device-resident-data train step (see PanoNeRFSystem variant)."""
+        hp = self.hparams
+        use_ort = hp["loss.ort_loss"] > 0
+        rays_all, rgbs_all = dataset
+        n = rgbs_all.shape[0]
+        sharding = mesh_lib.batch_sharding(self.mesh)
+
+        def step_fn(state: TrainState, key: jax.Array):
+            step_key = jax.random.fold_in(key, state.step)
+            k_idx, k_model = jax.random.split(step_key)
+            idx = jax.random.randint(k_idx, (batch_size,), 0, n)
+            idx = jax.lax.with_sharding_constraint(idx, sharding)
+            rays = jax.tree.map(lambda x: x[idx], rays_all)
+            rgbs = rgbs_all[idx]
+            mask = rays.lossmult
+
+            def loss_fn(params):
+                outs = self.model(
+                    params, k_model, rays, randomized=self.train_randomized,
+                    white_bkgd=self.white_bkgd, use_ort_loss=use_ort)
+                parts = losses_lib.mipnerf_losses(outs, rgbs[..., :3], mask,
+                                                  hp)
+                return parts["loss"], parts
+
+            (_, parts), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            return self._apply_updates(state, grads), parts
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    put_dataset_on_device = PanoNeRFSystem.put_dataset_on_device
 
     def make_render_image(self, enable_surf: bool = False):
         def render_fn(params, rays: Rays):

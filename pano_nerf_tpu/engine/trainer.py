@@ -130,13 +130,33 @@ class Trainer:
             print(f"[resume] restored step {start_step}")
 
         data_key = jax.random.PRNGKey(hp["seed"] + 1)
-        batch_iter = self.train_dataset.iter_batches(
-            hp["train.batch_size"], seed=hp["seed"])
-
         steps_with_surface = (self.use_surface
                               and isinstance(system, PanoNeRFSystem))
-        step_fn_surf = system.make_train_step(True) if steps_with_surface else None
-        step_fn_plain = system.make_train_step(False)
+
+        # Device-resident data path (default): upload the whole flattened
+        # ray set to HBM once and sample batches on device inside the jitted
+        # step — no host gather or per-step transfer. Falls back to the host
+        # iterator for datasets that don't comfortably fit.
+        ds = self.train_dataset
+        ds_bytes = ds.num_rays * (14 + ds.images.shape[-1]) * 4
+        device_data = (bool(hp.get("train.device_data", True))
+                       and ds_bytes < 4e9)
+        batch_iter = None
+        if device_data:
+            dataset = system.put_dataset_on_device(ds.rays, ds.images)
+            batch = int(hp["train.batch_size"])
+            step_fn_surf = (system.make_train_step_device_data(
+                dataset, True, batch) if steps_with_surface else None)
+            step_fn_plain = system.make_train_step_device_data(
+                dataset, False, batch)
+            print(f"[data] device-resident ({ds_bytes / 1e6:.0f} MB, "
+                  f"{ds.num_rays:,} rays)")
+        else:
+            batch_iter = ds.iter_batches(hp["train.batch_size"],
+                                         seed=hp["seed"])
+            step_fn_surf = (system.make_train_step(True)
+                            if steps_with_surface else None)
+            step_fn_plain = system.make_train_step(False)
 
         if sanity_val and start_step == 0:
             self.validate(state, step=0, max_images=1)
@@ -156,11 +176,13 @@ class Trainer:
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
                 print(f"[profile] trace written to {profile_dir}")
-            batch = next(batch_iter)
-            batch = system.shard_batch(batch)
             surf = steps_with_surface and step >= self.surface_start_step
             fn = step_fn_surf if surf else step_fn_plain
-            state, parts = fn(state, batch, data_key)
+            if device_data:
+                state, parts = fn(state, data_key)
+            else:
+                batch = system.shard_batch(next(batch_iter))
+                state, parts = fn(state, batch, data_key)
             rays_done += hp["train.batch_size"]
 
             if (step + 1) % self.log_every == 0:
