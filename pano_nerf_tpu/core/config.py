@@ -1,11 +1,11 @@
 """Flat dot-key YAML config system.
 
-Reproduces the public config surface of the reference
-(/root/reference/configs/config.py:14-93): nested YAML is flattened into a
-single dict with dot-joined keys (`nerf.mlp.net_width`), string leaves are
-coerced via `ast.literal_eval` when possible (so `'None'` -> None, `'2e-4'`
--> 2e-4), lists become tuples, and configs merge default <- file <- CLI
-key/value pairs <- argparse namespace.
+Provides the public config surface the reference exposes
+(/root/reference/configs/config.py): nested YAML flattens into a single
+dict whose keys join the nesting path with dots (`nerf.mlp.net_width`).
+String leaves are coerced through `ast.literal_eval` when they parse
+(`'None'` -> None, `'2e-4'` -> 2e-4), lists become tuples, and configs
+merge default <- named file <- CLI key/value pairs <- argparse namespace.
 
 Deliberately preserved quirk: a YAML value such as `append_identity: Ture`
 (typo in the reference's shipped configs, configs/panonerf.yaml:44) fails
@@ -16,54 +16,78 @@ behavior to the reference.
 from __future__ import annotations
 
 import argparse
+import os
 from ast import literal_eval
-from os.path import dirname, join
-from typing import Optional
+from typing import Iterator, Optional, Tuple
 
 import yaml
 
-DEFAULT_CONFIG_FILE = join(dirname(dirname(dirname(__file__))), "configs", "default.yaml")
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+DEFAULT_CONFIG_FILE = os.path.join(_REPO_ROOT, "configs", "default.yaml")
 
 
-def _parse_dict(d: Optional[dict], d_out: Optional[dict] = None, prefix: str = "") -> dict:
-    if d is None:
-        return {}
-    d_out = d_out if d_out is not None else {}
-    for k, v in d.items():
-        if isinstance(v, dict):
-            _parse_dict(v, d_out, prefix=prefix + k + ".")
+def _coerce(value):
+    """Best-effort literal coercion of a YAML leaf.
+
+    Strings that parse as Python literals become those literals; anything
+    else passes through. Lists (from YAML or from coercion) are frozen to
+    tuples so config values stay hashable / jit-static.
+    """
+    if isinstance(value, str):
+        try:
+            value = literal_eval(value)
+        except (ValueError, SyntaxError):
+            return value  # a genuine string (including typos like 'Ture')
+    if isinstance(value, list):
+        value = tuple(value)
+    return value
+
+
+def _walk_leaves(nested: dict, path: str = "") -> Iterator[Tuple[str, object]]:
+    """Depth-first iterator over (dot-joined key, coerced leaf) pairs."""
+    for key, value in nested.items():
+        dotted = f"{path}{key}"
+        if isinstance(value, dict):
+            yield from _walk_leaves(value, f"{dotted}.")
         else:
-            if isinstance(v, str):
-                try:
-                    v = literal_eval(v)
-                except (ValueError, SyntaxError):
-                    pass  # really a string
-            if isinstance(v, list):
-                v = tuple(v)
-            d_out[prefix + k] = v
-    return d_out
+            yield dotted, _coerce(value)
+
+
+def flatten(nested: Optional[dict]) -> dict:
+    """Nested mapping -> flat dot-key dict with coerced leaves."""
+    if not nested:
+        return {}
+    return dict(_walk_leaves(nested))
 
 
 def load(fname: str) -> dict:
     with open(fname, "r") as fp:
-        return _parse_dict(yaml.safe_load(fp))
+        return flatten(yaml.safe_load(fp))
 
 
-def merge_from_config(config: dict, config_merge: dict, check: bool = True) -> None:
-    for k, v in config_merge.items():
-        if k not in config and check:
-            print(f"[Error] New args {k} is added")
-        config[k] = v
+def merge_from_config(config: dict, updates: dict, check: bool = True) -> None:
+    """Overlay `updates` onto `config` in place.
+
+    With `check`, keys absent from the base config are reported (matching
+    the reference's warn-and-proceed behavior) but still applied.
+    """
+    if check:
+        for key in updates.keys() - config.keys():
+            print(f"[Error] unknown config key {key!r} introduced by merge")
+    config.update(updates)
 
 
 def merge_from_file(config: dict, fname: str) -> None:
-    merge_from_config(config, load(fname), False)
+    merge_from_config(config, load(fname), check=False)
 
 
-def merge_from_list(config: dict, list_merge) -> None:
-    assert len(list_merge) % 2 == 0, "The list must have key value pairs."
-    config_merge = _parse_dict(dict(zip(list_merge[0::2], list_merge[1::2])))
-    merge_from_config(config, config_merge)
+def merge_from_list(config: dict, pairs) -> None:
+    """Overlay alternating [key, value, key, value, ...] CLI overrides."""
+    pairs = list(pairs)
+    assert len(pairs) % 2 == 0, "The list must have key value pairs."
+    updates = {key: _coerce(value)
+               for key, value in zip(pairs[0::2], pairs[1::2])}
+    merge_from_config(config, updates)
 
 
 def default() -> dict:
@@ -79,15 +103,15 @@ def load_config(config_path: Optional[str] = None, opts=None) -> dict:
     if config_path is not None:
         merge_from_file(config, config_path)
     if opts:
-        merge_from_list(config, list(opts))
+        merge_from_list(config, opts)
     return config
 
 
 def parse_args(parser: argparse.ArgumentParser) -> dict:
     """argparse + YAML merge, mirroring the reference CLI contract."""
     args = parser.parse_args()
-    config = load_config(getattr(args, "config", None), getattr(args, "opts", None))
-    for k, v in args.__dict__.items():
-        if k not in config:
-            config[k] = v
+    config = load_config(getattr(args, "config", None),
+                         getattr(args, "opts", None))
+    for key, value in vars(args).items():
+        config.setdefault(key, value)
     return config

@@ -211,6 +211,16 @@ class PanoDataset:
                 else:
                     raise ValueError(f"factor must be positive, got {self.factor}")
 
+                if self.white_bkgd:
+                    # Composite onto white using the last read channel
+                    # (reference pano_datasets.py:82-83, applied to every
+                    # material before the per-material handling). Quirk kept:
+                    # the reference's reader only loads RGB
+                    # (utils/io_exr.py:20-23), so `[..., -1:]` is the BLUE
+                    # channel acting as alpha, not a true alpha plane.
+                    image = (image[..., :3] * image[..., -1:]
+                             + (1.0 - image[..., -1:]))
+
                 if material == "image":
                     mx = np.array(frame["transform_matrix"], dtype=np.float32)
                     rm = mx[:3, :3]

@@ -101,6 +101,30 @@ class TestPanoDataset:
         assert dirs[0, :, 1].mean() > 0.9
         assert dirs[-1, :, 1].mean() < -0.9
 
+    def test_white_bkgd_composites_onto_white(self, scene_dir):
+        """white_bkgd composites every material as rgb*last + (1-last),
+        where `last` is the blue channel (the reference reader never loads
+        alpha — /root/reference/datasets/pano_datasets.py:82-83 with
+        utils/io_exr.py:20-23)."""
+        plain = PanoDataset(scene_dir, split="val", factor=1, num=[0, 1, 2],
+                            range=(0, 10), white_bkgd=False)
+        comp = PanoDataset(scene_dir, split="val", factor=1, num=[0, 1, 2],
+                           range=(0, 10), white_bkgd=True)
+        raw = plain.images[0]
+        # Invert the image branch's clip to recover the loaded pixels; the
+        # scene generator emits values well inside [0, 1000] so clip is a
+        # no-op here.
+        alpha = raw[..., -1:]
+        expect = raw[..., :3] * alpha + (1.0 - alpha)
+        np.testing.assert_allclose(comp.images[0], expect, rtol=1e-5,
+                                   atol=1e-6)
+        # Albedo material gets the same treatment.
+        a_raw = plain.albedos[0]
+        a_alpha = a_raw[..., -1:]
+        np.testing.assert_allclose(
+            comp.albedos[0], a_raw[..., :3] * a_alpha + (1.0 - a_alpha),
+            rtol=1e-5, atol=1e-6)
+
     def test_env_rays_solid_angle(self):
         env = generate_lit_rays(num=10, far=10.0)
         np.testing.assert_allclose(env.lossmult.sum(), 4 * np.pi, rtol=1e-5)
