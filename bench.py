@@ -9,12 +9,24 @@ one chip.
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-`vs_baseline` compares against the reference implementation's measured A100
-throughput for the same panonerf step (batch 512). The reference repo
-publishes no numbers (BASELINE.md); the constant below is our estimate of
-the torch+Lightning reference on A100-40GB: ~23 it/s at batch 512 with the
-surface path = 11.8k rays/s. Re-measure and update when a GPU host is
-available.
+`vs_baseline` divides by an A100 estimate for the torch reference that is
+anchored in measurements (scripts/bench_reference_torch.py, 2026-08-16, this
+host's 1-core CPU, identical step semantics at batch 512):
+
+    reference torch step:   7.65 rays/s   (measured, fp32 CPU)
+    this repo, same host:  48.84 rays/s   (measured, fp32 CPU, jit)
+    this repo, TPU v5e:   94,910 rays/s   (measured, BENCH_r01)
+
+The A100 estimate grants the reference the SAME CPU->accelerator uplift our
+XLA step achieves (94,910 / 48.84 = 1,943x), corrected by the peak-compute
+ratio A100 fp16 (312 TF) / v5e bf16 (197 TF) = 1.58x:
+
+    ref_A100 ~= 7.65 * 1,943 * 1.58 ~= 23,500 rays/s.
+
+This is deliberately reference-favoring: an eager torch+Lightning step with
+hundreds of small kernels at batch 512 is launch-latency-bound on a GPU and
+will not reach the uplift a single fused XLA program gets, so the true
+speedup is at least `vs_baseline`.
 """
 
 import json
@@ -24,9 +36,9 @@ import time
 
 import numpy as np
 
-# Estimated reference throughput: torch fp16-mixed panonerf training step,
-# batch 512 rays, on A100 (see module docstring).
-A100_REFERENCE_RAYS_PER_SEC = 11_800.0
+# Reference throughput estimate for A100, derived above from measured CPU
+# anchors. Kept as a pinned constant so vs_baseline tracks TPU-side progress.
+A100_REFERENCE_RAYS_PER_SEC = 23_500.0
 
 BATCH = 512
 STEPS = 120
@@ -84,6 +96,8 @@ def main():
         "metric": "panonerf_train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
+        # vs measured-anchor A100 estimate for the torch reference (module
+        # docstring; reference-favoring, so this is a lower bound).
         "vs_baseline": round(rays_per_sec / A100_REFERENCE_RAYS_PER_SEC, 3),
     }))
 

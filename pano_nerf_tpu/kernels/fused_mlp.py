@@ -50,6 +50,13 @@ F32 = jnp.float32
 BF16 = jnp.bfloat16
 
 
+def _interpret() -> bool:
+    """Interpreter-mode escape hatch: lets the CPU test suite execute the
+    Pallas kernels (tests set PANO_NERF_PALLAS_INTERPRET=1)."""
+    import os
+    return os.environ.get("PANO_NERF_PALLAS_INTERPRET", "0") == "1"
+
+
 def _f32dot(a, b):
     return jnp.dot(a, b, preferred_element_type=F32)
 
@@ -220,6 +227,7 @@ def _pallas_forward(x: jax.Array, v: jax.Array, packed: Tuple) -> jax.Array:
         out_specs=pl.BlockSpec((BLOCK_M, OUT_PAD), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, OUT_PAD), F32),
+        interpret=_interpret(),
     )(x, v, *packed)
 
 
@@ -323,6 +331,7 @@ def _pallas_backward(x, v, packed, g):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        interpret=_interpret(),
     )(x, v, *packed, g)
     return outs[0], tuple(outs[1:])
 

@@ -29,7 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 from pano_nerf_tpu.kernels.fused_mlp import (BF16, BLOCK_M, F32, OUT_PAD,
                                              PACKED_FIELDS, _dot_nt,
                                              _dot_t_accum, _f32dot,
-                                             _trunk_forward, pack_params)
+                                             _interpret, _trunk_forward,
+                                             pack_params)
 
 MC_WIDTH = 8   # means(3) | covs(3) | pad(2)
 _N_W, _N_B = 14, 12
@@ -57,13 +58,28 @@ def _sel_matrices(L: int, min_deg: int, F: int):
 def _ipe96(mc, L: int, min_deg: int, F: int):
     """[B, 8] moments -> IPE features [B, F] (F = 2*3L, 96 for deg 16).
 
-    Returns (feat_bf16, att_f32, sin_arg cos-derivative f32) — the latter
-    two are reused by the backward kernel.
+    Returns (feat_bf16, att_f32, sin_arg f32) — the latter two are reused
+    by the backward kernel.
+
+    The phases are built ELEMENTWISE (three masked fma passes on the VPU),
+    not with an MXU dot: the MXU truncates f32 dot inputs to bf16 — which
+    garbles y = 2^deg * mean at every degree the attenuation hasn't killed
+    — while each elementwise product against an exact power of two is exact
+    f32, bitwise-matching ops/mip.py's HIGHEST-precision encoding.
     """
-    sel_y, sel_v = _sel_matrices(L, min_deg, F)
-    half = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1) >= 3 * L
-    y = _f32dot(mc, sel_y) + jnp.where(half, 0.5 * jnp.pi, 0.0)
-    att = jnp.exp(-0.5 * _f32dot(mc, sel_v))
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)
+    j = col % (3 * L)
+    deg = (j // 3 + min_deg).astype(F32)
+    dim = j % 3
+    in_range = col < 2 * 3 * L
+    y = jnp.where(col >= 3 * L, 0.5 * jnp.pi, 0.0)
+    var = jnp.zeros((1, F), F32)
+    for d in range(3):
+        pick = (dim == d) & in_range
+        y = y + mc[:, d:d + 1] * jnp.where(pick, jnp.exp2(deg), 0.0)
+        var = var + mc[:, 3 + d:4 + d] * jnp.where(pick,
+                                                   jnp.exp2(2.0 * deg), 0.0)
+    att = jnp.exp(-0.5 * var)
     return (att * jnp.sin(y)).astype(BF16), att, y
 
 
@@ -175,6 +191,7 @@ def _call_forward(mc, v, packed, L, min_deg):
         in_specs=in_specs,
         out_specs=row(OUT_PAD),
         out_shape=jax.ShapeDtypeStruct((M, OUT_PAD), F32),
+        interpret=_interpret(),
     )(mc, v, *packed)
 
 
@@ -201,6 +218,7 @@ def _call_backward(mc, v, packed, g, L, min_deg):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        interpret=_interpret(),
     )(mc, v, *packed, g)
     return outs[0], tuple(outs[1:])
 

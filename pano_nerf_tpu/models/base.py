@@ -85,10 +85,21 @@ class BaseNeRF:
     # current integration (custom_vjp fusion barriers) gives it back; flip on
     # after in-kernel IPE/compositing fusion lands.
     use_fused_kernel: bool = False
+    # Which subgraphs ride the kernels when use_fused_kernel is on:
+    # "all" | "fine" (v3 normals kernel only) | "aux" (coarse+env v1/v2 only).
+    fused_scope: str = "all"
     # Rematerialize the encode->MLP->activations graph in the backward pass
     # (jax.checkpoint): trades ~1 extra forward for not storing per-layer
     # activations, which un-spills large ray batches.
     remat: bool = False
+    # Normals implementation for the training-time fine level:
+    #  "explicit" — d(density)/d(means) built from the forward ReLU masks as
+    #    ordinary first-order code (models/normals.py); the whole train step
+    #    is then first-order and ~20% of step time in grad-of-grad passes
+    #    disappears (NOTES.md round-1 profile).
+    #  "vjp" — the round-1 path: jax.vjp over the compute graph, whose
+    #    differentiation generates second-order passes.
+    normals_impl: str = "explicit"
 
     # ----- construction -------------------------------------------------
 
@@ -157,9 +168,15 @@ class BaseNeRF:
 
     # ----- encode + MLP + activations ------------------------------------
 
-    def _fused_ok(self) -> bool:
-        """Fused kernel is available: TPU backend + standard topology."""
+    def _fused_ok(self, scope: str = "aux") -> bool:
+        """Fused kernel is available: TPU backend + standard topology.
+
+        `scope` names the requesting subgraph ("fine" or "aux") and is
+        matched against the `fused_scope` config.
+        """
         if not self.use_fused_kernel:
+            return False
+        if self.fused_scope != "all" and self.fused_scope != scope:
             return False
         try:
             if jax.default_backend() not in ("tpu", "axon"):
@@ -209,18 +226,65 @@ class BaseNeRF:
             self.append_identity)[..., None, :].astype(self.compute_dtype)
         return self.mlp.apply(params, samples_enc, viewdirs_enc)
 
+    def _density_noise(self, raw_density_1ch: Array,
+                       noise_key: Optional[jax.Array], randomized: bool
+                       ) -> Array:
+        if randomized and self.density_noise > 0 and noise_key is not None:
+            raw_density_1ch = raw_density_1ch + self.density_noise * jax.random.normal(
+                noise_key, raw_density_1ch.shape, raw_density_1ch.dtype)
+        return raw_density_1ch
+
     def _activate_rgb_density(self, raw_rgb: Array, raw_density_1ch: Array,
                               noise_key: Optional[jax.Array], randomized: bool
                               ) -> Tuple[Array, Array]:
         """softplus radiance + biased softplus density (reference
         models/pano_mip_nerf.py:268-278)."""
-        if randomized and self.density_noise > 0 and noise_key is not None:
-            raw_density_1ch = raw_density_1ch + self.density_noise * jax.random.normal(
-                noise_key, raw_density_1ch.shape, raw_density_1ch.dtype)
+        raw_density_1ch = self._density_noise(raw_density_1ch, noise_key,
+                                              randomized)
         rgb = jax.nn.softplus(raw_rgb)
         rgb = rgb * (1.0 + 2.0 * self.rgb_padding) - self.rgb_padding
         density = jax.nn.softplus(raw_density_1ch + self.density_bias)
         return rgb, density
+
+    def _raw_outputs_density_grad(self, params, means: Array, covs: Array,
+                                  viewdirs: Array
+                                  ) -> Tuple[Array, Array, Array]:
+        """Like `_raw_outputs`, plus d(raw_density[..., 0])/d(means).
+
+        The gradient is built explicitly from the forward ReLU masks and the
+        closed-form IPE Jacobian (models/normals.py) — first-order code that
+        replaces the jax.vjp in the training fine level, eliminating all
+        second-order autodiff from the train step.
+        """
+        from pano_nerf_tpu.models import normals as normals_lib
+        if self.disable_integration:
+            covs = jnp.zeros_like(covs)
+        if self._fused_ok(scope="fine"):
+            # v3 kernel: IPE + MLP + gradient chain fused in VMEM, with a
+            # hand-written backward (kernels/fused_mlp_normals.py). The
+            # whole fine level trains through custom_vjp — legal because
+            # the explicit-normals restructure made the step first-order.
+            from pano_nerf_tpu.kernels.fused_mlp_normals import (
+                fused_mlp_normals_apply)
+            venc = mip.pos_enc(
+                viewdirs, 0, self.deg_view,
+                self.append_identity)[..., None, :]
+            return fused_mlp_normals_apply(
+                params, means, covs, venc, self.mlp_num_density_channels,
+                self.min_deg_point, self.max_deg_point)
+        enc_f32 = mip.integrated_pos_enc(means, covs, self.min_deg_point,
+                                         self.max_deg_point)
+        enc = enc_f32.astype(self.compute_dtype)
+        venc = None
+        if self.use_viewdirs:
+            venc = mip.pos_enc(
+                viewdirs, 0, self.deg_view,
+                self.append_identity)[..., None, :].astype(self.compute_dtype)
+        raw_rgb, raw_density, g_enc = normals_lib.mlp_with_density_grad(
+            params, enc, venc, self.mlp_skip_index, self.compute_dtype)
+        d_raw_sigma = normals_lib.density_means_grad(
+            g_enc, enc_f32, self.min_deg_point, self.max_deg_point)
+        return raw_rgb, raw_density, d_raw_sigma
 
     # ----- sampling ------------------------------------------------------
 

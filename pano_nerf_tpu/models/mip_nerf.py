@@ -46,10 +46,28 @@ class MipNeRF(BaseNeRF):
                     raw_rgb, raw_density, keys[2 * i_level + 1], randomized)
 
             if fine_normals:
-                (rgb, density), vjp_fn = jax.vjp(graph, means)
+                explicit = self.normals_impl == "explicit" and not first_order
+                if explicit:
+                    raw_rgb, raw_density, d_raw = (
+                        self._raw_outputs_density_grad(
+                            params, means, covs, rays.viewdirs))
+                    rgb, density = self._activate_rgb_density(
+                        raw_rgb, raw_density, keys[2 * i_level + 1],
+                        randomized)
+                    # NB: density noise feeds _activate_rgb_density before
+                    # softplus; with density_noise > 0 the sigmoid below
+                    # would need the noised raw value — recompute it.
+                    raw_noised = self._density_noise(
+                        raw_density, keys[2 * i_level + 1], randomized)
+                    d_means = (jax.nn.sigmoid(raw_noised + self.density_bias)
+                               * d_raw)
+                else:
+                    (rgb, density), vjp_fn = jax.vjp(graph, means)
                 comp_rgb, distance, acc, weights = mip.volumetric_rendering(
                     rgb, density, t_samples, rays.directions, white_bkgd)
-                (d_means,) = vjp_fn((jnp.zeros_like(rgb), jnp.ones_like(density)))
+                if not explicit:
+                    (d_means,) = vjp_fn(
+                        (jnp.zeros_like(rgb), jnp.ones_like(density)))
                 normal, ort_loss, _ = self._expected_normals(
                     weights, -d_means, rays.directions, use_ort_loss=True)
                 ret.append(LevelOutput(rgb=comp_rgb, distance=distance,

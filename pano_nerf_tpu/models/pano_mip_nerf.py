@@ -78,15 +78,36 @@ class PanoMipNeRF(BaseNeRF):
                     return rgb, density, albedo, roughness
                 return jax.checkpoint(fn) if self.remat else fn
 
-            graph = make_graph(covs, rays.viewdirs, keys[2 * i_level + 1],
-                               fused=first_order or not fine_level)
-
             fine = fine_level
-            if fine:
-                (rgb, density, albedos, roughnesses), vjp_fn = jax.vjp(
-                    graph, means)
+            # Training fine level only: under `first_order` (eval) the vjp
+            # path is cheaper — it rides the fused kernel and is
+            # differentiated zero times.
+            explicit = (fine and self.normals_impl == "explicit"
+                        and not first_order)
+            if explicit:
+                # Forward + explicit density gradient in one pass: the whole
+                # training step stays first-order (models/normals.py).
+                raw_rgb, raw_density, d_raw_sigma = (
+                    self._raw_outputs_density_grad(
+                        params, means, covs, rays.viewdirs))
+                raw_sigma, albedos, roughnesses = self._split_heads(
+                    raw_density)
+                raw_sigma = self._density_noise(
+                    raw_sigma, keys[2 * i_level + 1], randomized)
+                rgb = jax.nn.softplus(raw_rgb)
+                rgb = rgb * (1.0 + 2.0 * self.rgb_padding) - self.rgb_padding
+                density = jax.nn.softplus(raw_sigma + self.density_bias)
+                # Chain softplus: d(density)/d(means) = sigmoid * d(raw).
+                d_means = (jax.nn.sigmoid(raw_sigma + self.density_bias)
+                           * d_raw_sigma)
             else:
-                rgb, density, albedos, roughnesses = graph(means)
+                graph = make_graph(covs, rays.viewdirs, keys[2 * i_level + 1],
+                                   fused=first_order or not fine_level)
+                if fine:
+                    (rgb, density, albedos, roughnesses), vjp_fn = jax.vjp(
+                        graph, means)
+                else:
+                    rgb, density, albedos, roughnesses = graph(means)
 
             comp_rgb, distance, acc, weights = mip.volumetric_rendering(
                 rgb, density, t_samples, rays.directions, white_bkgd)
@@ -95,10 +116,11 @@ class PanoMipNeRF(BaseNeRF):
                 ret.append(LevelOutput(rgb=comp_rgb, distance=distance, acc=acc))
                 continue
 
-            # --- normals from the density gradient (one shared backward) ---
-            (d_means,) = vjp_fn((jnp.zeros_like(rgb), jnp.ones_like(density),
-                                 jnp.zeros_like(albedos),
-                                 jnp.zeros_like(roughnesses)))
+            if not explicit:
+                # --- normals from the density gradient (one shared bwd) ---
+                (d_means,) = vjp_fn(
+                    (jnp.zeros_like(rgb), jnp.ones_like(density),
+                     jnp.zeros_like(albedos), jnp.zeros_like(roughnesses)))
             normal, ort_loss, w_norm = self._expected_normals(
                 weights, -d_means, rays.directions, use_ort_loss)
 

@@ -300,8 +300,17 @@ def integrated_pos_enc(means: Array, covs_diag: Array, min_deg: int,
     dims = means.shape[-1]
     sel = jnp.asarray(_scale_select_matrix(dims, min_deg, max_deg, False))
     sel_sq = jnp.asarray(_scale_select_matrix(dims, min_deg, max_deg, True))
-    y = means @ sel
-    y_var = covs_diag @ sel_sq
+    # precision=HIGHEST is REQUIRED, not a nicety: the TPU's default bf16
+    # matmul precision garbles the phase y = 2^deg * mean at every degree
+    # whose attenuation hasn't killed the feature (y is large, sin(y) needs
+    # the low bits), and — worse — XLA may duplicate this dot for different
+    # consumers with different roundings, which breaks the analytic
+    # derivative identity the explicit-normals path relies on
+    # (models/normals.py). With HIGHEST the products are exact f32
+    # (power-of-two scales), so every copy agrees bit-for-bit.
+    y = jnp.matmul(means, sel, precision=jax.lax.Precision.HIGHEST)
+    y_var = jnp.matmul(covs_diag, sel_sq,
+                       precision=jax.lax.Precision.HIGHEST)
     return expected_sin(
         jnp.concatenate([y, y + 0.5 * jnp.pi], axis=-1),
         jnp.concatenate([y_var, y_var], axis=-1))
@@ -313,7 +322,8 @@ def pos_enc(x: Array, min_deg: int, max_deg: int,
     Uses the same matmul-broadcast trick as `integrated_pos_enc`."""
     sel = jnp.asarray(
         _scale_select_matrix(x.shape[-1], min_deg, max_deg, False))
-    xb = x @ sel
+    # Exact phases (see integrated_pos_enc for why HIGHEST is required).
+    xb = jnp.matmul(x, sel, precision=jax.lax.Precision.HIGHEST)
     four_feat = jnp.sin(jnp.concatenate([xb, xb + 0.5 * jnp.pi], axis=-1))
     if append_identity:
         return jnp.concatenate([x, four_feat], axis=-1)

@@ -1,0 +1,89 @@
+"""A/B microbenchmark of the panonerf train step on the real chip.
+
+Compares model-config variants inside ONE process so tunnel variance is
+shared. Each variant is a comma-separated list of BaseNeRF field overrides,
+e.g.:
+
+  python scripts/bench_ab.py \
+      "use_fused_kernel=False" "use_fused_kernel=True" --batch 512
+
+Inputs evolve every step (param updates feed back), so the axon tunnel's
+identical-execution cache cannot fake the numbers (CLAUDE.md gotcha).
+"""
+
+import argparse
+import ast
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_variant(overrides: dict, batch: int, steps: int, warmup: int = 5):
+    import jax
+
+    from __graft_entry__ import _make_rays, _tiny_hparams
+    from pano_nerf_tpu.data.pano_dataset import generate_lit_rays
+    from pano_nerf_tpu.engine.system import PanoNeRFSystem
+    from pano_nerf_tpu.parallel import mesh as mesh_lib
+
+    hp = _tiny_hparams(batch)
+    hp.update({"nerf.num_samples": 64, "nerf.num_env_samples": 10,
+               "nerf.num_ray_samples": 10})
+    system = PanoNeRFSystem(hp, mesh_lib.get_mesh(1))
+    if overrides:
+        system.model = dataclasses.replace(system.model, **overrides)
+    system.set_env_rays(generate_lit_rays(num=10, far=10.0))
+    state = system.create_state(jax.random.PRNGKey(0))
+
+    n_rays = 98_304
+    rays = _make_rays(n_rays)
+    rng = np.random.default_rng(0)
+    rgbs = np.abs(rng.standard_normal((n_rays, 3))).astype(np.float32) * 2.0
+    dataset = system.put_dataset_on_device(rays, rgbs)
+    step_fn = system.make_train_step_device_data(dataset, enable_surf=True,
+                                                 batch_size=batch)
+    key = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        state, parts = step_fn(state, key)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, parts = step_fn(state, key)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    return batch * steps / dt, float(jax.device_get(parts["loss"]))
+
+
+def parse_overrides(spec: str) -> dict:
+    out = {}
+    if spec.strip():
+        for kv in spec.split(","):
+            k, v = kv.split("=")
+            out[k.strip()] = ast.literal_eval(v.strip())
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("variants", nargs="+",
+                    help="each: 'field=value,field=value' or '' for default")
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--repeat", type=int, default=2)
+    args = ap.parse_args()
+
+    for r in range(args.repeat):
+        for spec in args.variants:
+            rps, loss = run_variant(parse_overrides(spec), args.batch,
+                                    args.steps)
+            print(f"[{spec or 'default'}] batch={args.batch} "
+                  f"rays/s={rps:,.0f} loss={loss:.5f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

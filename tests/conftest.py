@@ -10,12 +10,16 @@ updates below win as long as no backend has been initialized yet.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if os.environ.get("PANO_NERF_TEST_TPU", "0") == "1":
+    # Escape hatch: run the TPU-gated kernel tests on the real chip
+    # (e.g. `PANO_NERF_TEST_TPU=1 pytest tests/test_fused_normals.py`).
+    pass
+else:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
