@@ -100,6 +100,15 @@ class BaseNeRF:
     #  "vjp" — the round-1 path: jax.vjp over the compute graph, whose
     #    differentiation generates second-order passes.
     normals_impl: str = "explicit"
+    # Randomly rotate the env-direction set per ray per step (training only).
+    # The reference's FIXED Fibonacci set makes the irradiance estimator
+    # biased for emitters smaller than 4pi/D — the surface loss then drives
+    # source radiance to diverge at the default D=10
+    # (/root/reference/models/pano_mip_nerf.py:315-359 has no counterpart
+    # fix). Haar-random per-ray rotations make the D-direction estimate
+    # unbiased at identical cost; SGD averages the added variance. Eval
+    # (randomized=False) keeps the fixed set.
+    env_rotation: bool = True
 
     # ----- construction -------------------------------------------------
 
@@ -134,6 +143,7 @@ class BaseNeRF:
             mlp_num_rgb_channels=hparams["nerf.mlp.num_rgb_channels"],
             num_env_samples=hparams["nerf.num_env_samples"],
             compute_dtype=dtype,
+            env_rotation=bool(hparams.get("nerf.env_rotation", True)),
         )
         kw.update(overrides)
         return cls(**kw)

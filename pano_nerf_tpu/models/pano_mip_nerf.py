@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from pano_nerf_tpu.core.rays import Rays
 from pano_nerf_tpu.models.base import BaseNeRF, LevelOutput
 from pano_nerf_tpu.ops import mip, shading
+from pano_nerf_tpu.utils import rotation
 
 
 @dataclasses.dataclass(frozen=True)
@@ -136,10 +137,29 @@ class PanoMipNeRF(BaseNeRF):
                 # matching detach_dist=False, reference :321-324).
                 surf_origins = rays.origins + rays.directions * distance[..., None]
 
-                lit_t, (lit_means, lit_covs), lit_dirs = mip.sample_env_rays(
-                    k_env, surf_origins, env_rays.directions,
-                    self.num_env_samples, env_rays.near, env_rays.far,
-                    env_rays.radii, randomized)
+                if self.env_rotation and randomized:
+                    # Per-ray Haar-random rotation of the direction set: the
+                    # D-direction irradiance estimate becomes unbiased (each
+                    # R @ d_i is uniform on the sphere, weight 4pi/D), fixing
+                    # the emitter-radiance divergence the fixed Fibonacci set
+                    # causes at small D. Same MLP cost; eval keeps the fixed
+                    # set (randomized=False).
+                    k_env, k_rot = jax.random.split(k_env)
+                    rot = rotation.random_rotations(
+                        k_rot, surf_origins.shape[:-1])
+                    env_dirs = jnp.einsum(
+                        "...ij,dj->...di", rot, env_rays.directions)
+                    lit_t, (lit_means, lit_covs), lit_dirs = (
+                        mip.sample_env_rays_hemisphere(
+                            k_env, surf_origins, env_dirs,
+                            self.num_env_samples, env_rays.near,
+                            env_rays.far, env_rays.radii, randomized))
+                else:
+                    lit_t, (lit_means, lit_covs), lit_dirs = (
+                        mip.sample_env_rays(
+                            k_env, surf_origins, env_rays.directions,
+                            self.num_env_samples, env_rays.near,
+                            env_rays.far, env_rays.radii, randomized))
 
                 # Secondary radiance query: [B, D, S, .] — always first-order
                 # (its output feeds the loss directly), so may always fuse.

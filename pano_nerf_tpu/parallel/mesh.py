@@ -55,5 +55,19 @@ def shard_batch(mesh: Mesh, tree):
 
 
 def replicate(mesh: Mesh, tree):
-    """Replicate a pytree (params/opt state) across the mesh."""
-    return jax.device_put(tree, replicated_sharding(mesh))
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    Multi-host: `device_put` cannot target non-addressable devices, so each
+    process contributes the (identical) full array as its local data for a
+    fully-replicated spec. Device-resident leaves pass through device_put
+    (they are already global arrays in that case).
+    """
+    sharding = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        def put(x):
+            if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1:
+                return jax.device_put(x, sharding)
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.tree.map(put, tree)
+    return jax.device_put(tree, sharding)

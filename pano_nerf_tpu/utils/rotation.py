@@ -69,3 +69,26 @@ class RotToTarget:
 
     def rot2t(self, tvec: np.ndarray) -> np.ndarray:
         return batched_rot_to_target(np.asarray(tvec).reshape(-1, 3))
+
+
+def random_rotations(key, batch_shape=()) -> "jax.Array":
+    """Haar-uniform random SO(3) matrices, shape batch_shape + (3, 3).
+
+    Quaternion method: q ~ N(0, I_4) normalized is uniform on S^3, which
+    double-covers SO(3) uniformly. Used to decorrelate the env-direction set
+    across training steps/rays (no reference counterpart — the reference's
+    irradiance estimator uses a fixed Fibonacci set, which biases small
+    emitters; see PanoMipNeRF `env_rotation`). Traceable jnp code.
+    """
+    import jax
+    import jax.numpy as jnp
+    q = jax.random.normal(key, tuple(batch_shape) + (4,))
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r0 = jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                    2 * (x * z + w * y)], -1)
+    r1 = jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                    2 * (y * z - w * x)], -1)
+    r2 = jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                    1 - 2 * (x * x + y * y)], -1)
+    return jnp.stack([r0, r1, r2], axis=-2)

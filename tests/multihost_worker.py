@@ -1,0 +1,66 @@
+"""Worker process for tests/test_multihost.py: one rank of a real
+2-process jax.distributed CPU world running a Pano-NeRF train step.
+
+Covers the multi-host branches that are dead in single-process tests:
+train.maybe_init_distributed (train.py), the `process_count() > 1` paths of
+parallel/mesh.py (`shard_batch` via make_array_from_process_local_data and
+multi-host `replicate`).
+
+Usage (spawned by the test with PANO_NERF_MULTIHOST/COORD/NPROCS/PROC_ID
+and XLA_FLAGS=--xla_force_host_platform_device_count=2 in the env):
+    python tests/multihost_worker.py
+Prints "RESULT {json}" on success.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+import train as train_mod  # noqa: E402
+
+
+def main():
+    assert train_mod.maybe_init_distributed(), "distributed init did not run"
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    assert nproc == 2, nproc
+    assert jax.device_count() == 4, jax.device_count()
+    assert jax.local_device_count() == 2
+
+    from __graft_entry__ import _make_rays, _tiny_hparams
+    from pano_nerf_tpu.core.rays import rays_map
+    from pano_nerf_tpu.data.pano_dataset import generate_lit_rays
+    from pano_nerf_tpu.engine.system import PanoNeRFSystem
+    from pano_nerf_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.get_mesh()
+    system = PanoNeRFSystem(_tiny_hparams(8), mesh)
+    system.set_env_rays(generate_lit_rays(num=4, far=10.0))
+    state = system.create_state(jax.random.PRNGKey(0))
+    step = system.make_train_step(enable_surf=True)
+
+    # Global batch of 8 rays; this process contributes rows [4*pid, 4*pid+4).
+    rays = _make_rays(8)
+    rng = np.random.default_rng(0)
+    rgbs = np.abs(rng.standard_normal((8, 3))).astype(np.float32)
+    lo, hi = 4 * pid, 4 * pid + 4
+    local = (rays_map(lambda x: np.asarray(x)[lo:hi], rays), rgbs[lo:hi])
+    batch = system.shard_batch(local)
+    assert batch[1].shape == (8, 3), batch[1].shape  # global shape
+
+    state, parts = step(state, batch, jax.random.PRNGKey(1))
+    loss = float(jax.device_get(parts["loss"]))
+    assert np.isfinite(loss), loss
+    print("RESULT " + json.dumps({"pid": pid, "loss": loss}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

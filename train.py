@@ -58,17 +58,34 @@ def prepare_hparams(hparams: dict) -> dict:
     return hparams
 
 
+def maybe_init_distributed() -> bool:
+    """Multi-host SPMD: when launched under a multi-process runtime (one
+    process per host of a TPU slice), initialize the distributed client so
+    jax.devices() spans the slice and sharded batches assemble via
+    make_array_from_process_local_data.
+
+    `PANO_NERF_MULTIHOST=1` turns it on. On TPU pods the coordinator is
+    auto-detected; elsewhere (or to force a topology) set PANO_NERF_COORD
+    (host:port), PANO_NERF_NPROCS, and PANO_NERF_PROC_ID. Returns whether
+    initialization ran (tests/test_multihost.py drives a real 2-process
+    CPU world through this path).
+    """
+    if not os.environ.get("PANO_NERF_MULTIHOST"):
+        return False
+    import jax
+
+    kw = {}
+    if os.environ.get("PANO_NERF_COORD"):
+        kw = dict(coordinator_address=os.environ["PANO_NERF_COORD"],
+                  num_processes=int(os.environ["PANO_NERF_NPROCS"]),
+                  process_id=int(os.environ["PANO_NERF_PROC_ID"]))
+    jax.distributed.initialize(**kw)
+    return True
+
+
 def main() -> None:
     hparams = prepare_hparams(parse_args(build_parser()))
-
-    # Multi-host SPMD: when launched under a multi-process runtime (one
-    # process per host of a TPU slice), initialize the distributed client so
-    # jax.devices() spans the slice and sharded batches assemble via
-    # make_array_from_process_local_data.
-    if os.environ.get("PANO_NERF_MULTIHOST"):
-        import jax
-
-        jax.distributed.initialize()
+    maybe_init_distributed()
 
     from pano_nerf_tpu.engine.trainer import Trainer  # defer jax import
 
