@@ -57,10 +57,15 @@ from pano_nerf_tpu.kernels.fused_mlp_ipe import (MC_WIDTH, _ipe96,
 
 _N_W, _N_B = 14, 12
 SIGMA_COL = 3  # packed head column of raw density channel 0
-# The backward kernel holds acts + sz chains (16 x [B, 256] bf16) plus f32
-# IPE temps per block; at 512 rows that sits right at the 16 MB scoped-VMEM
-# ceiling and OOMs depending on scheduling. 256 rows leaves ~7 MB headroom.
-BLOCK_M_BWD = 256
+# Backward block size. Larger blocks amortize per-dot MXU overhead (the
+# backward chains ~42 dependent [M,256]-shaped dots; at 256 rows the xprof
+# trace showed ~66% MXU util vs XLA's ~88%). 512 rows needs ~20.5 MB of
+# scoped VMEM — above the compiler's default 16 MB but far below the
+# physical 128 MB, so the kernel raises its own limit via CompilerParams.
+BLOCK_M_BWD = 512
+# Scoped-VMEM ceiling for the backward kernel (bytes): measured 20.52 MB at
+# 512 rows; leave headroom for scheduling variance.
+_BWD_VMEM_LIMIT = 28 * 1024 * 1024
 
 
 def _sigma_grad_chain(x, acts, ws):
@@ -89,7 +94,7 @@ def _sigma_grad_chain(x, acts, ws):
 def _fwd_kernel(mc_ref, v_ref, *refs, L: int, min_deg: int, F: int,
                 save_residuals: bool):
     if save_residuals:
-        out_ref, dsig_ref, acts_ref, sz_ref = refs[-4:]
+        out_ref, dsig_ref, acts_ref = refs[-3:]
     else:
         out_ref, dsig_ref = refs[-2:]
     ws = {k: r[:] for k, r in zip(PACKED_FIELDS[:_N_W], refs[:_N_W])}
@@ -111,14 +116,17 @@ def _fwd_kernel(mc_ref, v_ref, *refs, L: int, min_deg: int, F: int,
     dy = g_x.astype(F32) * (att * jnp.cos(y))
     dsig_ref[:] = _dot_nt(dy, sel_y)  # cols 0:3 = d raw_sigma / d means
     if save_residuals:
-        # Spill the trunk activations and gradient-chain cotangents to HBM
-        # so the backward kernel skips its 17-dot recompute: 64 MB of
-        # round-trip traffic (~80 us at v5e HBM bw) buys back ~1 ms of MXU
-        # time per step at the production batch.
+        # Spill ONLY the trunk activations to HBM for the backward kernel.
+        # The step is HBM-bandwidth-bound (NOTES.md profile), so the
+        # residual set is chosen by bytes, not FLOPs: acts are [M, 8*256]
+        # bf16 (~134 MB/step at the production batch) and save the 8-dot
+        # trunk recompute; the sz chain (same size) is instead recomputed
+        # from acts + wd in the backward for 7 extra [M,256]x[256,256] dots
+        # — trading spare MXU time for the scarce resource. Saving both
+        # (the earlier variant) measured slower end-to-end.
         W = acts[0].shape[-1]
         for i in range(8):
             acts_ref[:, i * W:(i + 1) * W] = acts[i]
-            sz_ref[:, i * W:(i + 1) * W] = sz[i]
 
 
 def _bwd_kernel(mc_ref, v_ref, *refs, L: int, min_deg: int, F: int,
@@ -126,9 +134,8 @@ def _bwd_kernel(mc_ref, v_ref, *refs, L: int, min_deg: int, F: int,
     g_ref = refs[_N_W + _N_B]
     q_ref = refs[_N_W + _N_B + 1]
     acts_ref = refs[_N_W + _N_B + 2]
-    sz_ref = refs[_N_W + _N_B + 3]
-    dmc_ref = refs[_N_W + _N_B + 4]
-    grad_refs = refs[_N_W + _N_B + 5:]
+    dmc_ref = refs[_N_W + _N_B + 3]
+    grad_refs = refs[_N_W + _N_B + 4:]
     ws = {k: r[:] for k, r in zip(PACKED_FIELDS[:_N_W], refs[:_N_W])}
     bs = {k: r[:] for k, r in
           zip(PACKED_FIELDS[_N_W:_N_W + _N_B], refs[_N_W:_N_W + _N_B])}
@@ -152,21 +159,21 @@ def _bwd_kernel(mc_ref, v_ref, *refs, L: int, min_deg: int, F: int,
     W = ws["w1"].shape[0]
     acts = [jnp.where(valid, acts_ref[:, i * W:(i + 1) * W], 0)
             for i in range(8)]
-    sz = [jnp.where(valid, sz_ref[:, i * W:(i + 1) * W], 0)
-          for i in range(8)]
     masks = [a.astype(F32) > 0 for a in acts]
     h7 = acts[-1]
 
-    # --- recompute only the cheap pieces: exact IPE (elementwise) + the
-    # two head activations the view-branch backward needs + g_x (2 dots) ---
+    # --- recompute the bandwidth-cheap pieces: exact IPE (elementwise),
+    # the two head activations the view-branch backward needs, and the sz
+    # gradient chain + g_x from the saved acts (9 dots; see the residual
+    # note in _fwd_kernel for why sz is recomputed rather than spilled) ---
     x, att, y = _ipe96(mc, L, min_deg, F)
     x_f32 = att * jnp.sin(y)
     c1 = att * jnp.cos(y)
     btl = (_f32dot(h7, ws["wb"]) + bs["bb"]).astype(BF16)
     zv = _f32dot(btl, ws["wva"]) + _f32dot(v, ws["wvb"]) + bs["bv"]
     hv = jnp.maximum(zv, 0.0).astype(BF16)
-    g_x = (_dot_nt(sz[0], ws["w0"])
-           + _dot_nt(sz[5], ws["w5b"])).astype(BF16)
+    g_x, sz, _ = _sigma_grad_chain(x, acts, ws)
+    g_x = g_x.astype(BF16)
 
     col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
     g_rgb = (g * (col < 3)).astype(BF16)
@@ -261,9 +268,8 @@ def _call_forward(mc, v, packed, L, min_deg, save_residuals=False):
     out_shape = [jax.ShapeDtypeStruct((M, OUT_PAD), F32),
                  jax.ShapeDtypeStruct((M, MC_WIDTH), F32)]
     if save_residuals:
-        out_specs += [row(8 * width), row(8 * width)]
-        out_shape += [jax.ShapeDtypeStruct((M, 8 * width), BF16),
-                      jax.ShapeDtypeStruct((M, 8 * width), BF16)]
+        out_specs += [row(8 * width)]
+        out_shape += [jax.ShapeDtypeStruct((M, 8 * width), BF16)]
     return pl.pallas_call(
         functools.partial(_fwd_kernel, L=L, min_deg=min_deg, F=F,
                           save_residuals=save_residuals),
@@ -275,7 +281,7 @@ def _call_forward(mc, v, packed, L, min_deg, save_residuals=False):
     )(mc, v, *packed)
 
 
-def _call_backward(mc, v, packed, g, q, acts, sz, L, min_deg):
+def _call_backward(mc, v, packed, g, q, acts, L, min_deg):
     M = mc.shape[0]
     F = 2 * 3 * L
     const, row = _specs(BLOCK_M_BWD)
@@ -283,8 +289,7 @@ def _call_backward(mc, v, packed, g, q, acts, sz, L, min_deg):
     in_specs = [row(MC_WIDTH), row(v.shape[1])]
     in_specs += [pl.BlockSpec(p.shape, const, memory_space=pltpu.VMEM)
                  for p in packed]
-    in_specs += [row(OUT_PAD), row(MC_WIDTH), row(8 * width),
-                 row(8 * width)]
+    in_specs += [row(OUT_PAD), row(MC_WIDTH), row(8 * width)]
     out_shapes = [jax.ShapeDtypeStruct((M, MC_WIDTH), F32)]
     out_specs = [row(MC_WIDTH)]
     for p in packed:
@@ -298,8 +303,10 @@ def _call_backward(mc, v, packed, g, q, acts, sz, L, min_deg):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT),
         interpret=_interpret(),
-    )(mc, v, *packed, g, q, acts, sz)
+    )(mc, v, *packed, g, q, acts)
     return outs[0], tuple(outs[1:])
 
 
@@ -309,15 +316,15 @@ def _fused_normals_core(mc, v, packed, L, min_deg):
 
 
 def _fused_normals_fwd(mc, v, packed, L, min_deg):
-    out, dsig, acts, sz = _call_forward(mc, v, packed, L, min_deg,
-                                        save_residuals=True)
-    return (out, dsig), (mc, v, packed, acts, sz)
+    out, dsig, acts = _call_forward(mc, v, packed, L, min_deg,
+                                    save_residuals=True)
+    return (out, dsig), (mc, v, packed, acts)
 
 
 def _fused_normals_bwd(L, min_deg, res, cts):
-    mc, v, packed, acts, sz = res
+    mc, v, packed, acts = res
     g, q = cts
-    dmc, dpacked = _call_backward(mc, v, packed, g, q, acts, sz, L, min_deg)
+    dmc, dpacked = _call_backward(mc, v, packed, g, q, acts, L, min_deg)
     dpacked = tuple(dw.astype(p.dtype) for dw, p in zip(dpacked, packed))
     return dmc, None, dpacked
 

@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--chunks", type=int, nargs="+",
                     default=[1024, 4096, 8192])
+    ap.add_argument("--variant", default="",
+                    help="model overrides 'field=value,...' (see bench_ab)")
     args = ap.parse_args()
 
     import jax
@@ -44,6 +46,12 @@ def main():
     for chunk in args.chunks:
         hp["val.chunk_size"] = chunk
         system = PanoNeRFSystem(hp, mesh_lib.get_mesh(1))
+        if args.variant:
+            import dataclasses
+
+            from scripts.bench_ab import parse_overrides
+            system.model = dataclasses.replace(
+                system.model, **parse_overrides(args.variant))
         system.set_env_rays(generate_lit_rays(num=10, far=10.0))
         state = system.create_state(jax.random.PRNGKey(0))
         render = system.make_render_image(enable_surf=True)
@@ -53,11 +61,20 @@ def main():
         flat = rays_map(lambda x: jnp.asarray(x.reshape(-1, x.shape[-1])),
                         rays)
 
-        out = render(state.params, flat)
+        params = state.params
+        # Warmup must include one EVOLVED-params render: the first call with
+        # a freshly-computed param tree triggers a second compile (different
+        # buffer donation/layout than the initial device_put tree), which
+        # otherwise lands inside the timed loop and understates throughput
+        # ~5x (measured: 35k vs 186k rays/s at chunk 4096).
+        for _ in range(2):
+            params = jax.tree.map(
+                lambda a: a + jnp.float32(1e-12) if a.dtype == jnp.float32
+                else a, params)
+            out = render(params, flat)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         reps = 5
-        params = state.params
         for i in range(reps):
             # evolve params slightly so the run cannot be served from any
             # execution cache

@@ -1,0 +1,140 @@
+"""HDR source-recovery study: rotated vs fixed env directions at D=10.
+
+The paper's headline capability is HDR radiance recovery — and the
+reference's fixed Fibonacci irradiance estimator makes a small emitter's
+radiance diverge at the default D=10 directions (round-1 study, NOTES.md).
+`nerf.env_rotation` (per-ray Haar rotation of the direction set) makes the
+estimator unbiased at identical cost. This harness produces the evidence:
+it trains the full pipeline through train.py per variant on the synthetic
+box-room scene and tracks, per validation step,
+
+  * HDR / LDR ws-PSNR (from metrics.jsonl, the trainer's own log), and
+  * predicted-vs-GT emitter radiance, recovered from the saved
+    gt_hdr / pred_hdr EXR products (emitter pixels = GT radiance > 4;
+    surfaces are < ~1.5, the emitter is 7.2-9.0).
+
+Usage:
+  python scripts/hdr_study.py --steps 44000 --variants rotated fixed \
+      [--out /tmp/hdr_study]
+
+Prints one JSON line per variant plus a final summary line.
+"""
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pano_nerf_tpu.data.io_exr import read_exr  # noqa: E402
+
+EMITTER_THRESHOLD = 4.0
+
+
+def run_variant(name: str, rotation: bool, scene: str, out_root: str,
+                steps: int, val_epochs: int, env_dirs: int) -> dict:
+    out_dir = os.path.join(out_root, name)
+    cmd = [
+        sys.executable, os.path.join(ROOT, "train.py"),
+        "--data_path", scene, "--out_dir", out_dir,
+        "--config", os.path.join(ROOT, "configs", "panonerf.yaml"),
+        "train.factor", "1", "val.factor", "1",
+        "train.sample_num", "'n0_1_2'",
+        "optimizer.max_steps", str(steps),
+        "val.check_every_n_epoch", str(val_epochs),
+        "val.chunk_size", "4096",
+        "nerf.num_ray_samples", str(env_dirs),
+        "nerf.env_rotation", str(rotation),
+        "log_every_n_step", "2000",
+    ]
+    t0 = time.time()
+    subprocess.run(cmd, check=True, cwd=ROOT)
+    wall = time.time() - t0
+    exp = os.path.join(out_dir, "panonerf_0_1_2")
+
+    series = []
+    psnrs = {}
+    with open(os.path.join(exp, "metrics.jsonl")) as fp:
+        for line in fp:
+            rec = json.loads(line)
+            if "psnr_hdr_vol" in rec:
+                psnrs[int(rec["step"])] = rec
+    for vdir in sorted(glob.glob(os.path.join(exp, "val_*"))):
+        step = int(os.path.basename(vdir).split("_")[1])
+        pm, gm = [], []
+        for pred_f in sorted(glob.glob(os.path.join(vdir, "pred_hdr",
+                                                    "*.exr"))):
+            gt_f = os.path.join(vdir, "gt_hdr", os.path.basename(pred_f))
+            if not os.path.exists(gt_f):
+                continue
+            pred, gt = read_exr(pred_f), read_exr(gt_f)
+            mask = gt.max(-1) > EMITTER_THRESHOLD
+            if mask.any():
+                pm.append(float(pred[mask].mean()))
+                gm.append(float(gt[mask].mean()))
+        row = {"step": step}
+        if pm:
+            row["emitter_pred"] = round(float(np.mean(pm)), 3)
+            row["emitter_gt"] = round(float(np.mean(gm)), 3)
+            row["emitter_ratio"] = round(float(np.mean(pm) / np.mean(gm)), 3)
+        if step in psnrs:
+            for k in ("psnr_hdr_vol", "psnr_ldr_vol", "ssim_ldr_vol"):
+                if k in psnrs[step]:
+                    row[k] = round(psnrs[step][k], 3)
+        series.append(row)
+    return {"variant": name, "env_rotation": rotation, "steps": steps,
+            "env_dirs": env_dirs, "wall_s": round(wall, 1),
+            "series": series}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=44000)
+    ap.add_argument("--env_dirs", type=int, default=10)
+    ap.add_argument("--val_epochs", type=int, default=4,
+                    help="validate every N*1000 steps")
+    ap.add_argument("--variants", nargs="+", default=["rotated", "fixed"],
+                    choices=["rotated", "fixed"])
+    ap.add_argument("--out", default="/tmp/hdr_study")
+    ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--width", type=int, default=256)
+    args = ap.parse_args()
+
+    scene = os.path.join(args.out, "scene")
+    if not os.path.exists(os.path.join(scene, "transforms_all.json")):
+        from pano_nerf_tpu.data.synthetic import generate_scene
+        generate_scene(scene, n_views=6, height=args.height,
+                       width=args.width)
+
+    results = []
+    for name in args.variants:
+        res = run_variant(name, rotation=(name == "rotated"), scene=scene,
+                          out_root=args.out, steps=args.steps,
+                          val_epochs=args.val_epochs,
+                          env_dirs=args.env_dirs)
+        results.append(res)
+        print(json.dumps(res), flush=True)
+
+    summary = {}
+    for res in results:
+        tail = [r for r in res["series"] if "emitter_ratio" in r][-3:]
+        hdr = [r.get("psnr_hdr_vol") for r in res["series"]
+               if r.get("psnr_hdr_vol") is not None]
+        summary[res["variant"]] = {
+            "final_emitter_ratio": tail[-1]["emitter_ratio"] if tail else None,
+            "final_psnr_hdr": hdr[-1] if hdr else None,
+            "hdr_psnr_last3": hdr[-3:],
+            "wall_s": res["wall_s"],
+        }
+    print(json.dumps({"summary": summary}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
