@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 
 from pano_nerf_tpu.ops.shading import hdr_to_ldr
@@ -30,6 +31,30 @@ def chromaticity_loss(ldr_gt: Array, albedo: Array) -> Array:
     """MSE between unit-normalized LDR color and unit-normalized albedo
     (reference panonerf_system.py:58-63)."""
     return jnp.mean((_l2_normalize(ldr_gt) - _l2_normalize(albedo)) ** 2)
+
+
+# Radiance that ACES+gamma tonemaps to exactly 1.0: the root of
+# x(2.51x+0.03) = x(2.43x+0.59) + 0.14 (ops/shading.py constants). A
+# saturated 8-bit GT pixel says only "radiance >= knee".
+SATURATION_KNEE = (0.56 + (0.3584) ** 0.5) / 0.16  # ~7.2417
+
+
+def saturation_loss(pred_hdr: Array, ldr_gt: Array, mask: Array) -> Array:
+    """One-sided pull of saturated-GT channels toward the saturation knee.
+
+    A clipped tonemap gives saturated pixels zero gradient, so their HDR
+    radiance is unconstrained from above and random-walks upward (the
+    emitter-divergence mechanism measured in NOTES.md; the reference
+    shares it). This term restores the missing constraint as a MAP prior:
+    among all radiances consistent with the observed saturated LDR, prefer
+    the smallest — the irradiance (surface) loss, which couples true
+    source intensity, can still pull above the knee because the penalty is
+    L1 (constant bounded gradient), not quadratic. No reference
+    counterpart; deviation documented in PARITY.md.
+    """
+    sat = (ldr_gt >= 1.0).astype(pred_hdr.dtype) * mask
+    excess = jax.nn.relu(pred_hdr - SATURATION_KNEE)
+    return jnp.sum(sat * excess) / jnp.maximum(jnp.sum(sat), 1.0)
 
 
 def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
@@ -61,6 +86,20 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
     if fine.ort_loss is not None:
         loss = loss + hparams["loss.ort_loss"] * fine.ort_loss
         parts["ort"] = fine.ort_loss
+
+    # Beyond-reference stabilizers (defaults chosen by the HDR study,
+    # NOTES.md; set the keys to 0 for strict reference-loss parity).
+    w_dist = float(hparams.get("loss.distortion_loss", 0.01))
+    if w_dist > 0 and fine.dist_loss is not None:
+        dist = fine.dist_loss + (coarse.dist_loss
+                                 if coarse.dist_loss is not None else 0.0)
+        loss = loss + w_dist * dist
+        parts["dist"] = dist
+    w_sat = float(hparams.get("loss.saturation_loss", 0.01))
+    if w_sat > 0:
+        sat = saturation_loss(fine.rgb, ldr_gt, mask)
+        loss = loss + w_sat * sat
+        parts["sat"] = sat
 
     parts["loss"] = loss
     return parts

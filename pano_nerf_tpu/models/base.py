@@ -45,6 +45,7 @@ class LevelOutput(NamedTuple):
     surf_rgb: Optional[Array] = None  # [B, 3] surface-rendered HDR radiance
     diffuse: Optional[Array] = None   # [B, 3] diffuse term
     shading: Optional[Array] = None   # [B, 3] irradiance (shading) term
+    dist_loss: Optional[Array] = None  # scalar mip-NeRF-360 distortion loss
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,14 +102,39 @@ class BaseNeRF:
     #    differentiation generates second-order passes.
     normals_impl: str = "explicit"
     # Randomly rotate the env-direction set per ray per step (training only).
-    # The reference's FIXED Fibonacci set makes the irradiance estimator
-    # biased for emitters smaller than 4pi/D — the surface loss then drives
-    # source radiance to diverge at the default D=10
-    # (/root/reference/models/pano_mip_nerf.py:315-359 has no counterpart
-    # fix). Haar-random per-ray rotations make the D-direction estimate
-    # unbiased at identical cost; SGD averages the added variance. Eval
-    # (randomized=False) keeps the fixed set.
-    env_rotation: bool = True
+    # Haar rotation of the rigid lattice is the best-variance UNBIASED
+    # estimator (the reference's fixed set is biased for emitters smaller
+    # than 4pi/D) — but the 44k study measured that its per-step noise
+    # still destabilizes HDR recovery even with the stabilizer losses,
+    # while the deterministic fixed set + stabilizers is both stable and
+    # best-LDR (NOTES.md HDR study). Default off = reference estimator.
+    env_rotation: bool = False
+    # Importance-sample the env directions (training only): a cheap probe
+    # pass (env_probe_dirs directions x env_probe_samples samples,
+    # stop-gradient) estimates incident radiance per cell, then the
+    # num_ray_samples main directions are drawn from a defensive mixture
+    # concentrated on bright cells, with exact 1/(D*pdf) Monte-Carlo
+    # weights (ops/mip.py::importance_env_directions). Unbiased, but the
+    # 44k study measured NO variance or HDR benefit over plain rotation
+    # for emitters smaller than a proposal cell, at +25% step cost
+    # (NOTES.md HDR study) — default off; the HDR fix is the stabilizer
+    # losses (engine/losses.py: distortion + saturation knee prior).
+    env_importance: bool = False
+    env_probe_dirs: int = 16
+    env_probe_samples: int = 4
+    # Explicit env-direction sampling mode; "auto" resolves from the legacy
+    # booleans (importance > rotated > fixed). "stratified" jitters each
+    # direction within its own cell with overlap-exact weights
+    # (ops/mip.py::stratified_env_directions) — unbiased like "rotated" but
+    # with per-stratum variance only.
+    env_sampling: str = "auto"
+
+    def _env_mode(self) -> str:
+        if self.env_sampling != "auto":
+            return self.env_sampling
+        if self.env_importance:
+            return "importance"
+        return "rotated" if self.env_rotation else "fixed"
 
     # ----- construction -------------------------------------------------
 
@@ -143,7 +169,11 @@ class BaseNeRF:
             mlp_num_rgb_channels=hparams["nerf.mlp.num_rgb_channels"],
             num_env_samples=hparams["nerf.num_env_samples"],
             compute_dtype=dtype,
-            env_rotation=bool(hparams.get("nerf.env_rotation", True)),
+            env_rotation=bool(hparams.get("nerf.env_rotation", False)),
+            env_importance=bool(hparams.get("nerf.env_importance", False)),
+            env_probe_dirs=int(hparams.get("nerf.env_probe_dirs", 16)),
+            env_probe_samples=int(hparams.get("nerf.env_probe_samples", 4)),
+            env_sampling=str(hparams.get("nerf.env_sampling", "auto")),
         )
         kw.update(overrides)
         return cls(**kw)

@@ -48,6 +48,45 @@ class PanoMipNeRF(BaseNeRF):
         roughness = jax.nn.softplus(raw_rough - 1.0)
         return raw_sigma, albedo, roughness
 
+    def _importance_dirs(self, k_env, make_graph, surf_origins, normal,
+                         env_rays):
+        """Probe-and-resample env directions (training only, flat [B, 3]).
+
+        A stop-gradient probe pass over `env_probe_dirs` rotated Fibonacci
+        cells (each marched with `env_probe_samples` samples) estimates
+        incident radiance; the D main directions are then drawn from a
+        defensive bright-cell mixture with exact Monte-Carlo weights
+        (ops/mip.py::importance_env_directions).
+
+        Returns (dirs [B, D, 3], solid_angle [B, D, 1], fresh k_env).
+        """
+        from pano_nerf_tpu.utils.spherical import sample_dir_by_uniform
+        k_env, k_rot, k_probe, k_pick = jax.random.split(k_env, 4)
+        Dp = self.env_probe_dirs
+        origins = jax.lax.stop_gradient(surf_origins)
+        cell_dirs = jnp.einsum(
+            "bij,dj->bdi",
+            rotation.random_rotations(k_rot, origins.shape[:-1]),
+            jnp.asarray(sample_dir_by_uniform(Dp)))
+        ones = jnp.ones((Dp, 1), origins.dtype)
+        pt, (pmeans, pcovs), pdirs = mip.sample_env_rays_hemisphere(
+            k_probe, origins, cell_dirs, self.env_probe_samples,
+            ones * env_rays.near[0, 0], ones * env_rays.far[0, 0],
+            ones * env_rays.radii[0, 0], True)
+        probe_graph = make_graph(pcovs, pdirs, None, fused=True)
+        p_rgb, p_density, _, _ = probe_graph(pmeans)
+        probe_rgb, *_ = mip.volumetric_rendering(
+            p_rgb, p_density, pt, pdirs, white_bkgd=False)
+        luma = shading.compute_illumination(
+            jax.lax.stop_gradient(probe_rgb))[..., 0]       # [B, Dp]
+        cosw = jax.nn.relu(jnp.einsum(
+            "bdi,bi->bd", cell_dirs,
+            jax.lax.stop_gradient(normal))) + 0.05
+        D = env_rays.directions.shape[0]
+        dirs, inv_density = mip.importance_env_directions(
+            k_pick, cell_dirs, (luma + 1e-3) * cosw, D)
+        return dirs, inv_density, k_env
+
     def __call__(self, params, key: jax.Array, rays: Rays, env_rays: Rays,
                  randomized: bool, white_bkgd: bool, enable_surf: bool,
                  use_ort_loss: bool, first_order: bool = False
@@ -112,9 +151,15 @@ class PanoMipNeRF(BaseNeRF):
 
             comp_rgb, distance, acc, weights = mip.volumetric_rendering(
                 rgb, density, t_samples, rays.directions, white_bkgd)
+            # Distortion loss (training only): collapses phantom free-space
+            # density so secondary (irradiance) rays see real surfaces —
+            # a prerequisite for HDR source recovery (NOTES.md HDR study).
+            dist_loss = (mip.distortion_loss(t_samples, weights)
+                         if randomized else None)
 
             if not fine:
-                ret.append(LevelOutput(rgb=comp_rgb, distance=distance, acc=acc))
+                ret.append(LevelOutput(rgb=comp_rgb, distance=distance,
+                                       acc=acc, dist_loss=dist_loss))
                 continue
 
             if not explicit:
@@ -126,6 +171,7 @@ class PanoMipNeRF(BaseNeRF):
                 weights, -d_means, rays.directions, use_ort_loss)
 
             out = dict(rgb=comp_rgb, distance=distance, acc=acc,
+                       dist_loss=dist_loss,
                        ort_loss=ort_loss, normal=normal,
                        roughness=jnp.sum(w_norm[..., 0] * roughnesses[..., 0],
                                          axis=-1))
@@ -137,18 +183,42 @@ class PanoMipNeRF(BaseNeRF):
                 # matching detach_dist=False, reference :321-324).
                 surf_origins = rays.origins + rays.directions * distance[..., None]
 
-                if self.env_rotation and randomized:
-                    # Per-ray Haar-random rotation of the direction set: the
-                    # D-direction irradiance estimate becomes unbiased (each
-                    # R @ d_i is uniform on the sphere, weight 4pi/D), fixing
-                    # the emitter-radiance divergence the fixed Fibonacci set
-                    # causes at small D. Same MLP cost; eval keeps the fixed
-                    # set (randomized=False).
-                    k_env, k_rot = jax.random.split(k_env)
-                    rot = rotation.random_rotations(
-                        k_rot, surf_origins.shape[:-1])
+                solid_angle = env_rays.lossmult
+                mode = self._env_mode() if randomized else "fixed"
+                if mode == "importance":
+                    # Importance-sampled irradiance (training): probe the
+                    # radiance field over rotated Fibonacci cells, then draw
+                    # the D main directions from a bright-cell-concentrated
+                    # mixture with exact 1/(D*pdf) weights. Unbiased AND
+                    # low-variance at small D — the fixed set has coverage
+                    # bias and plain rotation has rectified-noise drift
+                    # (NOTES.md HDR study). The probe pass is stop-gradient
+                    # and adds Dp x Sp cheap MLP evals (~25% of step FLOPs
+                    # at the 16x4 default).
+                    env_dirs, solid_angle, k_env = self._importance_dirs(
+                        k_env, make_graph, surf_origins, normal,
+                        env_rays)
+                    lit_t, (lit_means, lit_covs), lit_dirs = (
+                        mip.sample_env_rays_hemisphere(
+                            k_env, surf_origins, env_dirs,
+                            self.num_env_samples, env_rays.near,
+                            env_rays.far, env_rays.radii, randomized))
+                elif mode in ("rotated", "stratified"):
+                    # "rotated": per-ray Haar rotation of the set — each
+                    # R @ d_i is uniform on the sphere, weight 4pi/D stays;
+                    # unbiased at identical MLP cost. "stratified": rotate,
+                    # then jitter each direction within its own cell with
+                    # overlap-exact weights — same mean, per-stratum
+                    # variance only. Eval keeps the fixed set.
+                    k_env, k_rot, k_jit = jax.random.split(k_env, 3)
                     env_dirs = jnp.einsum(
-                        "...ij,dj->...di", rot, env_rays.directions)
+                        "...ij,dj->...di",
+                        rotation.random_rotations(
+                            k_rot, surf_origins.shape[:-1]),
+                        env_rays.directions)
+                    if mode == "stratified":
+                        env_dirs, solid_angle = (
+                            mip.stratified_env_directions(k_jit, env_dirs))
                     lit_t, (lit_means, lit_covs), lit_dirs = (
                         mip.sample_env_rays_hemisphere(
                             k_env, surf_origins, env_dirs,
@@ -170,7 +240,7 @@ class PanoMipNeRF(BaseNeRF):
 
                 surf_rgb, diffuse, _, shade = shading.surface_rendering(
                     env_rgb, albedo, normal, None, lit_dirs, rays.viewdirs,
-                    env_rays.lossmult)
+                    solid_angle)
                 out.update(albedo=albedo, surf_rgb=surf_rgb, diffuse=diffuse,
                            shading=shade)
             ret.append(LevelOutput(**out))

@@ -334,6 +334,32 @@ def pos_enc(x: Array, min_deg: int, max_deg: int,
 # Volume rendering
 # ---------------------------------------------------------------------------
 
+def distortion_loss(t_samples: Array, weights: Array) -> Array:
+    """Mip-NeRF 360 distortion loss on normalized ray distances.
+
+    L = sum_ij w_i w_j |m_i - m_j| + 1/3 sum_i w_i^2 (s_{i+1} - s_i), with
+    s = (t - near) / (far - near) per ray and m the interval midpoints.
+    Penalizes weight spread along the ray — phantom "fog" density in free
+    space collapses onto surfaces. Not in the reference (its sparse-pano
+    geometry keeps floaters that short-circuit the irradiance coupling the
+    HDR recovery depends on; NOTES.md HDR study). Returns a scalar (mean
+    over rays).
+
+    Args:
+      t_samples: [B, N+1] fenceposts; weights: [B, N].
+    """
+    near = t_samples[..., :1]
+    far = t_samples[..., -1:]
+    s = (t_samples - near) / jnp.maximum(far - near, 1e-10)
+    mids = 0.5 * (s[..., 1:] + s[..., :-1])
+    intervals = s[..., 1:] - s[..., :-1]
+    dm = jnp.abs(mids[..., :, None] - mids[..., None, :])
+    inter = jnp.sum(weights[..., :, None] * weights[..., None, :] * dm,
+                    axis=(-2, -1))
+    intra = jnp.sum(weights ** 2 * intervals, axis=-1) / 3.0
+    return jnp.mean(inter + intra)
+
+
 def volumetric_rendering(rgb: Array, density: Array, t_samples: Array,
                          dirs: Array, white_bkgd: bool
                          ) -> Tuple[Array, Array, Array, Array]:
@@ -514,6 +540,125 @@ def sample_env_rays_hemisphere(key: jax.Array, point_origins: Array,
     radii_b = jnp.broadcast_to(radii[None, :, :], (B, D, 1))
     means, covs = cast_rays(t_samples, origins, directions, radii_b)
     return t_samples, (means, covs), directions
+
+
+def importance_env_directions(key: jax.Array, cell_dirs: Array,
+                              cell_weights: Array, num_dirs: int,
+                              uniform_mix: float = 0.5,
+                              cap_scale: float = 2.0
+                              ) -> Tuple[Array, Array]:
+    """Importance-sample env directions from per-cell weights, with exact
+    Monte-Carlo density weights.
+
+    The estimator `sum_d L(w_d) cos / (D * pdf(w_d))` is unbiased for the
+    irradiance integral for ANY strictly-positive pdf; this routine builds a
+    defensive proposal concentrated on bright cells and returns the exact
+    density of its own sampling process (no reference counterpart — the
+    reference integrates a fixed direction set, pano_datasets.py:218-263,
+    whose bias/variance destabilizes HDR recovery; see NOTES.md).
+
+    Process (per batch element):
+      1. cell c ~ p = uniform_mix/Dp + (1-uniform_mix) * w_c / sum(w),
+      2. direction uniform on the spherical cap of area
+         cap_scale * 4pi/Dp around cell center mu_c (caps overlap by
+         construction — cap_scale > 1 makes their union cover the sphere,
+         keeping the pdf strictly positive everywhere),
+      3. pdf(w) = sum_c p_c * [w . mu_c >= cos_half] / A_cap  (exact for
+         this process, including overlaps).
+
+    Args:
+      cell_dirs: [B, Dp, 3] unit cell centers (e.g. per-ray rotated
+        Fibonacci); cell_weights: [B, Dp] non-negative proposal weights.
+    Returns:
+      dirs [B, num_dirs, 3] unit vectors, inv_density [B, num_dirs, 1]
+      equal to 1 / (num_dirs * pdf) — the per-direction solid-angle weight
+      that replaces the uniform 4pi/D lossmult.
+    """
+    B, Dp = cell_weights.shape
+    k_cell, k_cos, k_phi = jax.random.split(key, 3)
+
+    wsum = jnp.sum(cell_weights, axis=-1, keepdims=True)
+    p = (uniform_mix / Dp
+         + (1.0 - uniform_mix) * cell_weights / jnp.maximum(wsum, 1e-12))
+    p = jnp.where(wsum > 0, p, jnp.full_like(p, 1.0 / Dp))
+
+    cells = jax.random.categorical(
+        k_cell, jnp.log(p)[:, None, :], shape=(B, num_dirs))  # [B, D]
+    mu = jnp.take_along_axis(cell_dirs, cells[..., None], axis=1)  # [B,D,3]
+
+    # Uniform on the cap: cos(theta) ~ U[cos_half, 1], phi ~ U[0, 2pi).
+    cos_half = 1.0 - cap_scale * 2.0 / Dp
+    A_cap = 2.0 * jnp.pi * (1.0 - cos_half)
+    u = jax.random.uniform(k_cos, (B, num_dirs, 1))
+    ct = cos_half + (1.0 - cos_half) * u
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    phi = jax.random.uniform(k_phi, (B, num_dirs, 1)) * 2.0 * jnp.pi
+    # Orthonormal frame around mu (branch-free; the reference axis flips
+    # where mu is near +-z to stay non-parallel).
+    near_z = jnp.abs(mu[..., 2:3]) > 0.9
+    ref = jnp.where(near_z, jnp.array([1.0, 0.0, 0.0]),
+                    jnp.array([0.0, 0.0, 1.0]))
+    a = jnp.cross(mu, ref)
+    a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+    b = jnp.cross(mu, a)
+    dirs = ct * mu + st * (jnp.cos(phi) * a + jnp.sin(phi) * b)
+    dirs = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+
+    # Exact density of the process (sum over every cap containing the
+    # direction; >= with a small slack so a sample on its own cap boundary
+    # never sees pdf = 0).
+    inside = (jnp.einsum("bdi,bci->bdc", dirs, cell_dirs)
+              >= cos_half - 1e-6)
+    pdf = jnp.sum(p[:, None, :] * inside, axis=-1) / A_cap  # [B, D]
+    inv_density = 1.0 / (num_dirs * jnp.maximum(pdf, 1e-12))
+    return dirs, inv_density[..., None]
+
+
+def stratified_env_directions(key: jax.Array, cell_dirs: Array,
+                              cap_scale: float = 2.0
+                              ) -> Tuple[Array, Array]:
+    """Stratified env directions: one jittered sample per direction cell.
+
+    Each of the D cell centers (e.g. a per-ray rotated Fibonacci set) emits
+    exactly one direction, drawn uniformly on the spherical cap of area
+    cap_scale * 4pi/D around it. With the overlap-corrected weight
+    A_cap / n(w) (n = number of caps containing w) the estimator
+    sum_d L(w_d) cos * weight_d is exactly unbiased:
+      E[sum_d f(w_d) A/n(w_d)] = sum_d int_{cap_d} f/n = int f,
+    since sum_d 1[w in cap_d] = n(w). Unlike iid rotation (same mean), the
+    variance is per-stratum only — a bright emitter spanning >= 1 cell is
+    hit every step — which is what stabilizes HDR source recovery
+    (NOTES.md HDR study). cap_scale > 1 makes the caps' union cover the
+    sphere (verified in tests for the shipped direction counts).
+
+    Args:
+      cell_dirs: [B, D, 3] unit cell centers.
+    Returns:
+      dirs [B, D, 3], weight [B, D, 1] (replaces the uniform 4pi/D).
+    """
+    B, D = cell_dirs.shape[:2]
+    k_cos, k_phi = jax.random.split(key)
+    cos_half = 1.0 - cap_scale * 2.0 / D
+    A_cap = 2.0 * jnp.pi * (1.0 - cos_half)
+    u = jax.random.uniform(k_cos, (B, D, 1))
+    ct = cos_half + (1.0 - cos_half) * u
+    st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+    phi = jax.random.uniform(k_phi, (B, D, 1)) * 2.0 * jnp.pi
+    mu = cell_dirs
+    near_z = jnp.abs(mu[..., 2:3]) > 0.9
+    ref = jnp.where(near_z, jnp.array([1.0, 0.0, 0.0]),
+                    jnp.array([0.0, 0.0, 1.0]))
+    a = jnp.cross(mu, ref)
+    a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+    b = jnp.cross(mu, a)
+    dirs = ct * mu + st * (jnp.cos(phi) * a + jnp.sin(phi) * b)
+    dirs = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    n = jnp.sum(jnp.einsum("bdi,bci->bdc", dirs, cell_dirs)
+                >= cos_half - 1e-6, axis=-1)
+    weight = A_cap / jnp.maximum(n, 1)
+    return dirs, weight[..., None]
 
 
 def split_rays_into_chunks(rays, chunk_size: int = 4096):

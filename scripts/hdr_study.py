@@ -1,12 +1,13 @@
-"""HDR source-recovery study: rotated vs fixed env directions at D=10.
+"""HDR source-recovery study: env-direction estimator variants at ~1x cost.
 
 The paper's headline capability is HDR radiance recovery — and the
-reference's fixed Fibonacci irradiance estimator makes a small emitter's
-radiance diverge at the default D=10 directions (round-1 study, NOTES.md).
-`nerf.env_rotation` (per-ray Haar rotation of the direction set) makes the
-estimator unbiased at identical cost. This harness produces the evidence:
-it trains the full pipeline through train.py per variant on the synthetic
-box-room scene and tracks, per validation step,
+reference's fixed Fibonacci irradiance estimator makes the emitter's
+radiance diverge at the default D=10 directions (coverage bias), while
+naive per-ray rotation at D=10 diverges faster (high estimator variance
+rectified through the concave tonemap: NOTES.md HDR study). This harness
+compares the `nerf.env_sampling` estimator modes and D/S cost splits on
+the full train.py pipeline on the synthetic box-room scene, tracking per
+validation step,
 
   * HDR / LDR ws-PSNR (from metrics.jsonl, the trainer's own log), and
   * predicted-vs-GT emitter radiance, recovered from the saved
@@ -38,9 +39,54 @@ from pano_nerf_tpu.data.io_exr import read_exr  # noqa: E402
 EMITTER_THRESHOLD = 4.0
 
 
-def run_variant(name: str, rotation: bool, scene: str, out_root: str,
-                steps: int, val_epochs: int, env_dirs: int) -> dict:
-    out_dir = os.path.join(out_root, name)
+# Variant -> config overrides. D = nerf.num_ray_samples (directions),
+# S = nerf.num_env_samples (samples per env ray); cost scales with D*S
+# (reference default 10x10).
+VARIANTS = {
+    "fixed": {"nerf.env_sampling": "fixed"},
+    "rotated": {"nerf.env_sampling": "rotated"},
+    "importance": {"nerf.env_sampling": "importance"},
+    "strat10": {"nerf.env_sampling": "stratified"},
+    "strat40s3": {"nerf.env_sampling": "stratified",
+                  "nerf.num_ray_samples": 40, "nerf.num_env_samples": 3},
+    "strat40s2": {"nerf.env_sampling": "stratified",
+                  "nerf.num_ray_samples": 40, "nerf.num_env_samples": 2},
+    # Rotated rigid lattice at higher D / fewer samples per env ray: the
+    # measured variance sweet spot (the rigid Fibonacci geometry is itself
+    # a stratification; jittering it measurably hurts).
+    "rot40s3": {"nerf.env_sampling": "rotated",
+                "nerf.num_ray_samples": 40, "nerf.num_env_samples": 3},
+    "rot40s2": {"nerf.env_sampling": "rotated",
+                "nerf.num_ray_samples": 40, "nerf.num_env_samples": 2},
+    "rot64s2": {"nerf.env_sampling": "rotated",
+                "nerf.num_ray_samples": 64, "nerf.num_env_samples": 2},
+    # Gold estimator (4x cost): convergence reference for the study.
+    "rot40s10": {"nerf.env_sampling": "rotated",
+                 "nerf.num_ray_samples": 40, "nerf.num_env_samples": 10},
+    # Delayed surface loss: let the radiance field converge in LDR first.
+    "rot40s3d": {"nerf.env_sampling": "rotated",
+                 "nerf.num_ray_samples": 40, "nerf.num_env_samples": 3,
+                 "train.surface_start_step": 0.2},
+    "rot40s2d": {"nerf.env_sampling": "rotated",
+                 "nerf.num_ray_samples": 40, "nerf.num_env_samples": 2,
+                 "train.surface_start_step": 0.2},
+    # With the round-2 stabilizer losses (distortion + saturation knee
+    # prior) at their yaml defaults — the "x" suffix marks runs after the
+    # loss change; earlier variants ran without those terms.
+    "refx": {"nerf.env_sampling": "fixed"},
+    "rot40s3x": {"nerf.env_sampling": "rotated",
+                 "nerf.num_ray_samples": 40, "nerf.num_env_samples": 3},
+    "rot40s10x": {"nerf.env_sampling": "rotated",
+                  "nerf.num_ray_samples": 40, "nerf.num_env_samples": 10},
+    "rotx": {"nerf.env_sampling": "rotated"},
+}
+
+
+def run_variant(name: str, scene: str, out_root: str,
+                steps: int, val_epochs: int, env_dirs: int,
+                seed: int = 0) -> dict:
+    out_dir = os.path.join(out_root,
+                           name if seed == 0 else f"{name}-seed{seed}")
     cmd = [
         sys.executable, os.path.join(ROOT, "train.py"),
         "--data_path", scene, "--out_dir", out_dir,
@@ -51,9 +97,11 @@ def run_variant(name: str, rotation: bool, scene: str, out_root: str,
         "val.check_every_n_epoch", str(val_epochs),
         "val.chunk_size", "4096",
         "nerf.num_ray_samples", str(env_dirs),
-        "nerf.env_rotation", str(rotation),
         "log_every_n_step", "2000",
     ]
+    for k, v in VARIANTS[name].items():
+        cmd += [k, str(v)]
+    cmd += ["seed", str(seed)]
     t0 = time.time()
     subprocess.run(cmd, check=True, cwd=ROOT)
     wall = time.time() - t0
@@ -89,7 +137,7 @@ def run_variant(name: str, rotation: bool, scene: str, out_root: str,
                 if k in psnrs[step]:
                     row[k] = round(psnrs[step][k], 3)
         series.append(row)
-    return {"variant": name, "env_rotation": rotation, "steps": steps,
+    return {"variant": name, "overrides": VARIANTS[name], "steps": steps,
             "env_dirs": env_dirs, "wall_s": round(wall, 1),
             "series": series}
 
@@ -100,9 +148,10 @@ def main():
     ap.add_argument("--env_dirs", type=int, default=10)
     ap.add_argument("--val_epochs", type=int, default=4,
                     help="validate every N*1000 steps")
-    ap.add_argument("--variants", nargs="+", default=["rotated", "fixed"],
-                    choices=["rotated", "fixed"])
+    ap.add_argument("--variants", nargs="+", default=["strat10", "fixed"],
+                    choices=sorted(VARIANTS))
     ap.add_argument("--out", default="/tmp/hdr_study")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--height", type=int, default=128)
     ap.add_argument("--width", type=int, default=256)
     args = ap.parse_args()
@@ -115,10 +164,9 @@ def main():
 
     results = []
     for name in args.variants:
-        res = run_variant(name, rotation=(name == "rotated"), scene=scene,
-                          out_root=args.out, steps=args.steps,
-                          val_epochs=args.val_epochs,
-                          env_dirs=args.env_dirs)
+        res = run_variant(name, scene=scene, out_root=args.out,
+                          steps=args.steps, val_epochs=args.val_epochs,
+                          env_dirs=args.env_dirs, seed=args.seed)
         results.append(res)
         print(json.dumps(res), flush=True)
 
@@ -127,7 +175,7 @@ def main():
         tail = [r for r in res["series"] if "emitter_ratio" in r][-3:]
         hdr = [r.get("psnr_hdr_vol") for r in res["series"]
                if r.get("psnr_hdr_vol") is not None]
-        summary[res["variant"]] = {
+        summary[res["variant"] + (f"-seed{args.seed}" if args.seed else "")] = {
             "final_emitter_ratio": tail[-1]["emitter_ratio"] if tail else None,
             "final_psnr_hdr": hdr[-1] if hdr else None,
             "hdr_psnr_last3": hdr[-3:],

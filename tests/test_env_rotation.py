@@ -77,7 +77,9 @@ class TestRandomRotations:
 
 @pytest.fixture(scope="module")
 def pano_pair():
-    kw = dict(num_samples=8, num_env_samples=4, compute_dtype=jnp.float32)
+    # env_importance off: this file tests the "rotated" mode in isolation.
+    kw = dict(num_samples=8, num_env_samples=4, env_importance=False,
+              compute_dtype=jnp.float32)
     on = PanoMipNeRF(env_rotation=True, **kw)
     off = PanoMipNeRF(env_rotation=False, **kw)
     params = on.init(jax.random.PRNGKey(0))

@@ -85,3 +85,61 @@ class TestMipNerfLosses:
         p1 = mipnerf_losses(outs, gt, jnp.ones((B, 1)), HP)
         np.testing.assert_allclose(float(p1["loss"]) - float(p0["loss"]),
                                    0.1 * 3.0, rtol=1e-5)
+
+
+class TestStabilizerLosses:
+    """Round-2 beyond-reference terms: distortion + saturation knee prior
+    (the HDR-divergence fix, NOTES.md HDR study)."""
+
+    def test_distortion_zero_for_delta(self):
+        """All weight in one narrow interval -> loss ~ its intra term only."""
+        from pano_nerf_tpu.ops.mip import distortion_loss
+        t = jnp.linspace(0.0, 1.0, 9)[None, :]  # 8 intervals of 1/8
+        w = jnp.zeros((1, 8)).at[0, 3].set(1.0)
+        val = float(distortion_loss(t, w))
+        np.testing.assert_allclose(val, (1.0 / 8) / 3.0, rtol=1e-5)
+
+    def test_distortion_penalizes_spread(self):
+        from pano_nerf_tpu.ops.mip import distortion_loss
+        t = jnp.linspace(0.0, 1.0, 9)[None, :]
+        peaked = jnp.zeros((1, 8)).at[0, 3].set(1.0)
+        spread = jnp.full((1, 8), 1.0 / 8)
+        assert float(distortion_loss(t, spread)) > float(
+            distortion_loss(t, peaked)) * 3
+
+    def test_saturation_knee_value(self):
+        """The knee tonemaps to exactly 1.0 (pre-gamma ACES = 1)."""
+        from pano_nerf_tpu.engine.losses import SATURATION_KNEE
+        x = SATURATION_KNEE
+        aces = (x * (2.51 * x + 0.03)) / (x * (2.43 * x + 0.59) + 0.14)
+        np.testing.assert_allclose(aces, 1.0, atol=1e-6)
+
+    def test_saturation_one_sided_and_masked(self):
+        from pano_nerf_tpu.engine.losses import (SATURATION_KNEE,
+                                                 saturation_loss)
+        ldr_gt = jnp.asarray([[1.0, 1.0, 0.9],   # R,G saturated
+                              [0.5, 0.5, 0.5]])  # unsaturated
+        mask = jnp.ones((2, 1))
+        below = jnp.full((2, 3), SATURATION_KNEE - 1.0)
+        assert float(saturation_loss(below, ldr_gt, mask)) == 0.0
+        above = jnp.full((2, 3), SATURATION_KNEE + 2.0)
+        # Only the 2 saturated channels of row 0 contribute: mean excess 2.
+        np.testing.assert_allclose(
+            float(saturation_loss(above, ldr_gt, mask)), 2.0, rtol=1e-6)
+        # Masked-out rays contribute nothing.
+        mask0 = jnp.asarray([[0.0], [1.0]])
+        assert float(saturation_loss(above, ldr_gt, mask0)) == 0.0
+
+    def test_wired_into_pano_losses(self):
+        B = 4
+        gt = jnp.ones((B, 3)) * 20.0  # saturated
+        outs = [level(jnp.ones((B, 3)) * 20.0),
+                level(jnp.ones((B, 3)) * 20.0, ort_loss=jnp.asarray(0.0))]
+        hp_off = dict(HP, **{"loss.distortion_loss": 0,
+                             "loss.saturation_loss": 0})
+        p_off = pano_losses(outs, gt, jnp.ones((B, 1)), hp_off,
+                            enable_surf=False)
+        p_on = pano_losses(outs, gt, jnp.ones((B, 1)), HP,
+                           enable_surf=False)
+        assert "sat" in p_on and float(p_on["sat"]) > 0
+        assert float(p_on["loss"]) > float(p_off["loss"])

@@ -113,14 +113,17 @@ class TestGoldenValues:
                  if v is not None}
         for k, v in parts.items():
             assert np.isfinite(v), (k, v)
-        # Composition identity: total equals the weighted sum of components.
+        # Composition identity: total equals the weighted sum of components
+        # (incl. the round-2 beyond-reference stabilizers at their default
+        # weights — a deliberate semantic change, see NOTES.md HDR study).
         expect = (0.1 * parts["vol_coarse"] + parts["vol_fine"]
                   + 1.0 * parts["vol_surface"] + 0.1 * parts["chrom"]
-                  + 0.1 * parts["ort"])
+                  + 0.1 * parts["ort"]
+                  + 0.01 * parts["dist"] + 0.01 * parts["sat"])
         np.testing.assert_allclose(parts["loss"], expect, rtol=1e-5)
         # Every expected component present.
         assert {"loss", "vol_coarse", "vol_fine", "vol_surface", "chrom",
-                "ort"} <= set(parts)
+                "ort", "dist", "sat"} <= set(parts)
 
     def test_volumetric_rendering_snapshot(self):
         from pano_nerf_tpu.ops import mip
