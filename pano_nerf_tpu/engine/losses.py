@@ -69,14 +69,25 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
     coarse, fine = outputs[0], outputs[-1]
     ldr_gt = hdr_to_ldr(rgbs_gt, quantize=True)
 
-    vol_coarse = masked_mse(hdr_to_ldr(coarse.rgb), ldr_gt, mask)
-    vol_fine = masked_mse(hdr_to_ldr(fine.rgb), ldr_gt, mask)
+    # Predictions are tonemapped WITHOUT the clip (the reference clamps,
+    # surface_rendering.py:330-331): the clamp zeroes the gradient for any
+    # prediction past the ACES knee, so radiance there is unbounded above
+    # even when the GT channel is UNSATURATED and says otherwise — one of
+    # the two measured HDR-divergence mechanisms (NOTES.md HDR study).
+    # The unclipped curve is monotone (asymptote 2.51/2.43), so values and
+    # ordering below the knee are identical and the saturated region keeps
+    # a small, correctly-signed pull toward the GT level.
+    clamp = not bool(hparams.get("loss.unclipped_pred_tonemap", True))
+    vol_coarse = masked_mse(hdr_to_ldr(coarse.rgb, clamp=clamp), ldr_gt,
+                            mask)
+    vol_fine = masked_mse(hdr_to_ldr(fine.rgb, clamp=clamp), ldr_gt, mask)
     loss = hparams["loss.coarse_loss_mult"] * vol_coarse + vol_fine
 
     parts = dict(vol_coarse=vol_coarse, vol_fine=vol_fine, vol_surface=None,
                  chrom=None, ort=None)
     if enable_surf and fine.surf_rgb is not None:
-        vol_surface = masked_mse(hdr_to_ldr(fine.surf_rgb), ldr_gt, mask)
+        vol_surface = masked_mse(hdr_to_ldr(fine.surf_rgb, clamp=clamp),
+                                 ldr_gt, mask)
         loss = loss + hparams["loss.surface_loss"] * vol_surface
         parts["vol_surface"] = vol_surface
         if hparams["loss.chrom_loss"] > 0:

@@ -119,11 +119,12 @@ class PanoMipNeRF(BaseNeRF):
                 return jax.checkpoint(fn) if self.remat else fn
 
             fine = fine_level
-            # Training fine level only: under `first_order` (eval) the vjp
-            # path is cheaper — it rides the fused kernel and is
-            # differentiated zero times.
-            explicit = (fine and self.normals_impl == "explicit"
-                        and not first_order)
+            # Explicit density-gradient normals (models/normals.py): the
+            # chain costs ~9 forward dots, vs a full MLP backward pass for
+            # the vjp route — cheaper in training AND at eval
+            # (`first_order`), where vjp_fn would execute a backward per
+            # chunk just to read the gradient.
+            explicit = fine and self.normals_impl == "explicit"
             if explicit:
                 # Forward + explicit density gradient in one pass: the whole
                 # training step stays first-order (models/normals.py).

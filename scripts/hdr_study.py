@@ -79,6 +79,8 @@ VARIANTS = {
     "rot40s10x": {"nerf.env_sampling": "rotated",
                   "nerf.num_ray_samples": 40, "nerf.num_env_samples": 10},
     "rotx": {"nerf.env_sampling": "rotated"},
+    # With the unclipped-prediction tonemap fix on top of the stabilizers.
+    "refx2": {"nerf.env_sampling": "fixed"},
 }
 
 

@@ -143,3 +143,27 @@ class TestStabilizerLosses:
                            enable_surf=False)
         assert "sat" in p_on and float(p_on["sat"]) > 0
         assert float(p_on["loss"]) > float(p_off["loss"])
+
+    def test_unclipped_pred_tonemap_restores_gradient(self):
+        """Past-knee predictions keep a restoring gradient toward an
+        unsaturated GT channel (the clamp would zero it)."""
+        import jax
+        from pano_nerf_tpu.engine.losses import SATURATION_KNEE
+        gt = jnp.full((2, 3), 7.0)  # just below the knee: unsaturated GT
+
+        def loss_of(pred_val, hp):
+            pred = jnp.full((2, 3), pred_val)
+            outs = [level(pred), level(pred, ort_loss=None)]
+            return pano_losses(outs, gt, jnp.ones((2, 1)), hp,
+                               enable_surf=False)["loss"]
+
+        hp_on = dict(HP, **{"loss.saturation_loss": 0,
+                            "loss.distortion_loss": 0})
+        g_on = float(jax.grad(loss_of)(SATURATION_KNEE + 3.0, hp_on))
+        assert g_on > 0  # pulls the overshoot down
+        hp_off = dict(hp_on, **{"loss.unclipped_pred_tonemap": False})
+        g_off = float(jax.grad(loss_of)(SATURATION_KNEE + 3.0, hp_off))
+        assert g_off == 0.0  # the reference clamp: no gradient
+        # Below the knee both paths are bitwise identical.
+        np.testing.assert_allclose(float(loss_of(3.0, hp_on)),
+                                   float(loss_of(3.0, hp_off)), rtol=0)
