@@ -87,6 +87,67 @@ class PanoMipNeRF(BaseNeRF):
             k_pick, cell_dirs, (luma + 1e-3) * cosw, D)
         return dirs, inv_density, k_env
 
+    def _render_fused(self, params, key: jax.Array, rays: Rays,
+                      env_rays: Rays, randomized: bool, white_bkgd: bool,
+                      enable_surf: bool) -> List[LevelOutput]:
+        """Eval render through the whole-level fused kernel.
+
+        Semantics match the standard path at randomized=False (parity
+        pinned by tests/test_fused_render.py); density noise is the one
+        unsupported feature (the caller gates on it).
+        """
+        from pano_nerf_tpu.kernels.fused_render import fused_render_level
+
+        def level(means, covs, viewdirs, t_samples, dirs, white_bkgd,
+                  need):
+            return fused_render_level(
+                params, means, covs, viewdirs, t_samples, dirs,
+                self.mlp_num_density_channels, self.min_deg_point,
+                self.max_deg_point, self.deg_view, self.density_bias,
+                self.rgb_padding, white_bkgd, need_normals=need,
+                need_extras=need)
+
+        keys = jax.random.split(key, 2 * self.num_levels + 1)
+        k_env = keys[-1]
+        ret: List[LevelOutput] = []
+        t_samples, weights = None, None
+        for i_level in range(self.num_levels):
+            t_samples, (means, covs) = self._sample_level(
+                keys[2 * i_level], rays, i_level, t_samples, weights,
+                randomized)
+            fine = (i_level == self.num_levels - 1 and self.num_levels >= 2)
+            r = level(means, covs, rays.viewdirs, t_samples,
+                      rays.directions, white_bkgd, need=fine)
+            weights = r["weights"]
+            if not fine:
+                ret.append(LevelOutput(rgb=r["rgb"], distance=r["distance"],
+                                       acc=r["acc"]))
+                continue
+            out = dict(rgb=r["rgb"], distance=r["distance"], acc=r["acc"],
+                       normal=r["normal"], roughness=r["roughness"])
+            if enable_surf:
+                albedo = r["albedo"]
+                surf_origins = (rays.origins
+                                + rays.directions * r["distance"][..., None])
+                lit_t, (lm, lc), lit_dirs = mip.sample_env_rays(
+                    k_env, surf_origins, env_rays.directions,
+                    self.num_env_samples, env_rays.near, env_rays.far,
+                    env_rays.radii, randomized)
+                B, D, S2 = lm.shape[:3]
+                re = level(lm.reshape(B * D, S2, 3),
+                           lc.reshape(B * D, S2, 3),
+                           lit_dirs.reshape(B * D, 3),
+                           lit_t.reshape(B * D, S2 + 1),
+                           lit_dirs.reshape(B * D, 3), False, need=False)
+                env_rgb = re["rgb"].reshape(B, D, 3)
+                surf_rgb, diffuse, _, shade = shading.surface_rendering(
+                    env_rgb, albedo, out["normal"], None, lit_dirs,
+                    rays.viewdirs, env_rays.lossmult)
+                out.update(albedo=albedo, surf_rgb=surf_rgb,
+                           diffuse=diffuse, shading=shade)
+            ret.append(LevelOutput(**out))
+        return ret
+
     def __call__(self, params, key: jax.Array, rays: Rays, env_rays: Rays,
                  randomized: bool, white_bkgd: bool, enable_surf: bool,
                  use_ort_loss: bool, first_order: bool = False
@@ -96,6 +157,23 @@ class PanoMipNeRF(BaseNeRF):
         lets the fine level use the fused Pallas kernel too; the coarse and
         env subgraphs always may (their outputs feed the loss directly,
         first-order, even in training)."""
+        if (first_order and self.use_fused_kernel_eval
+                and not self.use_fused_kernel):
+            # Eval-only kernel policy (see BaseNeRF.use_fused_kernel_eval):
+            # re-dispatch on a copy with the kernels on. Static bools, so
+            # this is resolved at trace time.
+            fused_self = dataclasses.replace(self, use_fused_kernel=True)
+            return fused_self(params, key, rays, env_rays, randomized,
+                              white_bkgd, enable_surf, use_ort_loss,
+                              first_order)
+        if (first_order and self.use_render_kernel
+                and self.fused_scope == "all"
+                and self._fused_ok("fine") and self.append_identity
+                and (not randomized or self.density_noise == 0)):
+            # Whole-level render kernel: MLP + compositing + expectations
+            # in VMEM, per-RAY boundary tensors (kernels/fused_render.py).
+            return self._render_fused(params, key, rays, env_rays,
+                                      randomized, white_bkgd, enable_surf)
         keys = jax.random.split(key, 2 * self.num_levels + 1)
         k_env = keys[-1]
         ret: List[LevelOutput] = []
