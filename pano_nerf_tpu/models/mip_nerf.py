@@ -30,6 +30,14 @@ class MipNeRF(BaseNeRF):
         promises single differentiation, enabling the fused kernel on the
         normals-producing fine level.
         """
+        if (first_order and self.use_fused_kernel_eval
+                and not self.use_fused_kernel):
+            # Eval-only kernel policy (BaseNeRF.use_fused_kernel_eval):
+            # first-order calls ride the piecewise fused kernels.
+            import dataclasses
+            fused_self = dataclasses.replace(self, use_fused_kernel=True)
+            return fused_self(params, key, rays, randomized, white_bkgd,
+                              use_ort_loss, first_order)
         keys = jax.random.split(key, 2 * self.num_levels)
         ret: List[LevelOutput] = []
         t_samples, weights = None, None
