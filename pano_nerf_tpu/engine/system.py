@@ -129,7 +129,8 @@ class PanoNeRFSystem(BaseSystem):
         return jax.jit(step_fn, donate_argnums=(0,))
 
     def make_train_step_device_data(self, dataset, enable_surf: bool,
-                                    batch_size: int):
+                                    batch_size: int,
+                                    steps_per_call: int = 1):
         """Train step with a device-resident dataset: the ray batch is
         sampled ON DEVICE each step (uniform with replacement) — no host
         gather, no per-step host->device transfer. `dataset` is a
@@ -140,6 +141,15 @@ class PanoNeRFSystem(BaseSystem):
         HBM, so "data loading" reduces to a fused device gather inside the
         jitted step. (Sampling with replacement instead of epoch
         permutations — statistically equivalent for SGD at these sizes.)
+
+        `steps_per_call > 1` wraps that many steps in one `lax.scan` —
+        one dispatch over the device tunnel instead of K, amortizing the
+        per-step launch gap (measured +0.6% single-chip through the axon
+        tunnel; matters more on real multi-host pods). The RNG stream is
+        identical to K single-step calls with the same key (each inner
+        step folds it with its own `state.step`); numerics agree to
+        compilation-level fp scheduling (~1e-6). Returned loss parts are
+        from the LAST inner step.
         """
         hp = self.hparams
         use_ort = hp["loss.ort_loss"] > 0
@@ -149,7 +159,7 @@ class PanoNeRFSystem(BaseSystem):
         n = rgbs_all.shape[0]
         sharding = mesh_lib.batch_sharding(self.mesh)
 
-        def step_fn(state: TrainState, key: jax.Array):
+        def one_step(state: TrainState, key: jax.Array):
             step_key = jax.random.fold_in(key, state.step)
             k_idx, k_model = jax.random.split(step_key)
             idx = jax.random.randint(k_idx, (batch_size,), 0, n)
@@ -172,7 +182,17 @@ class PanoNeRFSystem(BaseSystem):
                 loss_fn, has_aux=True)(state.params)
             return self._apply_updates(state, grads), parts
 
-        return jax.jit(step_fn, donate_argnums=(0,))
+        if steps_per_call == 1:
+            return jax.jit(one_step, donate_argnums=(0,))
+
+        def multi_step(state: TrainState, key: jax.Array):
+            def body(st, _):
+                return one_step(st, key)
+            state, parts = jax.lax.scan(body, state, None,
+                                        length=steps_per_call)
+            return state, jax.tree.map(lambda x: x[-1], parts)
+
+        return jax.jit(multi_step, donate_argnums=(0,))
 
     def put_dataset_on_device(self, rays, images):
         """Upload the flattened training set once, replicated over the mesh."""
@@ -239,7 +259,8 @@ class MipNeRFSystem(BaseSystem):
         return jax.jit(step_fn, donate_argnums=(0,))
 
     def make_train_step_device_data(self, dataset, enable_surf: bool,
-                                    batch_size: int):
+                                    batch_size: int,
+                                    steps_per_call: int = 1):
         """Device-resident-data train step (see PanoNeRFSystem variant)."""
         hp = self.hparams
         use_ort = hp["loss.ort_loss"] > 0
@@ -247,7 +268,7 @@ class MipNeRFSystem(BaseSystem):
         n = rgbs_all.shape[0]
         sharding = mesh_lib.batch_sharding(self.mesh)
 
-        def step_fn(state: TrainState, key: jax.Array):
+        def one_step(state: TrainState, key: jax.Array):
             step_key = jax.random.fold_in(key, state.step)
             k_idx, k_model = jax.random.split(step_key)
             idx = jax.random.randint(k_idx, (batch_size,), 0, n)
@@ -268,7 +289,17 @@ class MipNeRFSystem(BaseSystem):
                 loss_fn, has_aux=True)(state.params)
             return self._apply_updates(state, grads), parts
 
-        return jax.jit(step_fn, donate_argnums=(0,))
+        if steps_per_call == 1:
+            return jax.jit(one_step, donate_argnums=(0,))
+
+        def multi_step(state: TrainState, key: jax.Array):
+            def body(st, _):
+                return one_step(st, key)
+            state, parts = jax.lax.scan(body, state, None,
+                                        length=steps_per_call)
+            return state, jax.tree.map(lambda x: x[-1], parts)
+
+        return jax.jit(multi_step, donate_argnums=(0,))
 
     put_dataset_on_device = PanoNeRFSystem.put_dataset_on_device
 

@@ -128,3 +128,50 @@ class TestCheckpointer:
                                       np.asarray(state["w"]))
         assert int(restored["step"]) == 7
         ck.close()
+
+
+class TestMultiStepScan:
+    def test_multi_step_equals_single_steps(self):
+        """steps_per_call=K matches K single-step calls with the same key
+        (same RNG stream: each inner step folds key with its own
+        state.step). Equality is numerical, not bitwise — the scan body
+        compiles separately from the unrolled program, so fp scheduling
+        differs at the ~1e-6 level."""
+        import jax
+        import numpy as np
+
+        from __graft_entry__ import _make_rays, _tiny_hparams
+        from pano_nerf_tpu.data.pano_dataset import generate_lit_rays
+        from pano_nerf_tpu.engine.system import PanoNeRFSystem
+        from pano_nerf_tpu.parallel import mesh as mesh_lib
+
+        hp = _tiny_hparams(16)
+        system = PanoNeRFSystem(hp, mesh_lib.get_mesh(1))
+        system.set_env_rays(generate_lit_rays(num=4, far=10.0))
+        rng = np.random.default_rng(0)
+        rays = _make_rays(256)
+        rgbs = np.abs(rng.standard_normal((256, 3))).astype(np.float32)
+        ds = system.put_dataset_on_device(rays, rgbs)
+
+        key = jax.random.PRNGKey(7)
+        s1 = system.create_state(jax.random.PRNGKey(0))
+        f1 = system.make_train_step_device_data(ds, enable_surf=True,
+                                                batch_size=16)
+        for _ in range(3):
+            s1, p1 = f1(s1, key)
+
+        s3 = system.create_state(jax.random.PRNGKey(0))
+        f3 = system.make_train_step_device_data(ds, enable_surf=True,
+                                                batch_size=16,
+                                                steps_per_call=3)
+        s3, p3 = f3(s3, key)
+
+        assert int(s3.step) == int(s1.step) == 3
+        for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s3.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+        # The scalar loss is chaotic at init (ReLU flips amplify the
+        # ~1e-6 scheduling diffs over 3 sgd steps); the parameter check
+        # above is the semantic guarantee.
+        np.testing.assert_allclose(float(p1["loss"]), float(p3["loss"]),
+                                   atol=0.05)
