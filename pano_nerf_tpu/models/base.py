@@ -80,11 +80,12 @@ class BaseNeRF:
     mlp_num_density_channels: int = 1
     num_env_samples: int = 10
     compute_dtype: Any = jnp.bfloat16
-    # Use the fused Pallas MLP kernel on first-order subgraphs (coarse level,
-    # secondary env queries, eval). Auto-disabled off-TPU at call time.
-    # Default off: the kernel wins in isolation (~15% on fwd+bwd) but the
-    # current integration (custom_vjp fusion barriers) gives it back; flip on
-    # after in-kernel IPE/compositing fusion lands.
+    # Force the fused Pallas MLP kernels on for ALL subgraphs (including
+    # training). Default off for training: XLA compiles the train step to
+    # its bandwidth roofline at the production batch and the kernels lose
+    # ~11% there (NOTES.md fused-kernel decision); they win at batch >=
+    # 1024 and at eval — eval enables them automatically via
+    # use_fused_kernel_eval below. Auto-disabled off-TPU at call time.
     use_fused_kernel: bool = False
     # Auto-enable the fused kernels for first-order (eval/render) calls
     # even when use_fused_kernel is off for training: with the explicit
