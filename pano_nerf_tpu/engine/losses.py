@@ -17,6 +17,31 @@ from pano_nerf_tpu.ops.shading import hdr_to_ldr
 
 Array = jnp.ndarray
 
+# Beyond-reference loss keys and their production defaults (values chosen by
+# the round-2 HDR study, NOTES.md). Single source of truth: the systems fill
+# these into hparams at construction (prepare_hparams); the in-code fallbacks
+# below are the STRICT-PARITY values (0/False), so a key-less hparams dict
+# passed directly to the loss functions reproduces the reference loss
+# exactly. configs/panonerf.yaml documents the same defaults for users.
+EXTENSION_DEFAULTS = {
+    "loss.distortion_loss": 0.01,
+    "loss.saturation_loss": 0.01,
+    "loss.unclipped_pred_tonemap": True,
+    # Round-3 HDR attack: view-consistency of predicted radiance (ties the
+    # view-dependent head so irradiance evidence can push saturated sources
+    # above the knee). 0 = off (see pano_losses).
+    "loss.view_consistency": 0.0,
+}
+
+
+def prepare_hparams(hparams: dict) -> dict:
+    """Return a copy of `hparams` with the beyond-reference loss defaults
+    filled in (missing keys only — explicit values always win)."""
+    out = dict(hparams)
+    for key, val in EXTENSION_DEFAULTS.items():
+        out.setdefault(key, val)
+    return out
+
 
 def masked_mse(pred: Array, target: Array, mask: Array) -> Array:
     """sum(mask * (pred-target)^2) / sum(mask)."""
@@ -77,7 +102,7 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
     # The unclipped curve is monotone (asymptote 2.51/2.43), so values and
     # ordering below the knee are identical and the saturated region keeps
     # a small, correctly-signed pull toward the GT level.
-    clamp = not bool(hparams.get("loss.unclipped_pred_tonemap", True))
+    clamp = not bool(hparams.get("loss.unclipped_pred_tonemap", False))
     vol_coarse = masked_mse(hdr_to_ldr(coarse.rgb, clamp=clamp), ldr_gt,
                             mask)
     vol_fine = masked_mse(hdr_to_ldr(fine.rgb, clamp=clamp), ldr_gt, mask)
@@ -98,19 +123,33 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
         loss = loss + hparams["loss.ort_loss"] * fine.ort_loss
         parts["ort"] = fine.ort_loss
 
-    # Beyond-reference stabilizers (defaults chosen by the HDR study,
-    # NOTES.md; set the keys to 0 for strict reference-loss parity).
-    w_dist = float(hparams.get("loss.distortion_loss", 0.01))
+    # Beyond-reference stabilizers (production defaults are filled by
+    # prepare_hparams — the in-code fallbacks here are strict parity).
+    w_dist = float(hparams.get("loss.distortion_loss", 0.0))
     if w_dist > 0 and fine.dist_loss is not None:
         dist = fine.dist_loss + (coarse.dist_loss
                                  if coarse.dist_loss is not None else 0.0)
         loss = loss + w_dist * dist
         parts["dist"] = dist
-    w_sat = float(hparams.get("loss.saturation_loss", 0.01))
+    w_sat = float(hparams.get("loss.saturation_loss", 0.0))
     if w_sat > 0:
         sat = saturation_loss(fine.rgb, ldr_gt, mask)
         loss = loss + w_sat * sat
         parts["sat"] = sat
+    # View-consistency (round-3 HDR attack): symmetric log-space pull
+    # between the fine level's composited radiance and the same samples
+    # composited under a random view direction (LevelOutput.rgb_alt).
+    # log1p keeps O(1) gradients above the tonemap knee — the whole point
+    # is transmitting super-knee intensity between view directions, where
+    # LDR-space losses have vanishing slope. The measured decoupling it
+    # closes: emitter radiance 72 from the camera direction vs 2.8-4.3
+    # from floor points (NOTES.md HDR study mechanism 2).
+    w_vc = float(hparams.get("loss.view_consistency", 0.0))
+    if w_vc > 0 and fine.rgb_alt is not None:
+        vc = masked_mse(jnp.log1p(jax.nn.relu(fine.rgb_alt)),
+                        jnp.log1p(jax.nn.relu(fine.rgb)), mask)
+        loss = loss + w_vc * vc
+        parts["vc"] = vc
 
     parts["loss"] = loss
     return parts

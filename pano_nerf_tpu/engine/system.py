@@ -30,7 +30,12 @@ class TrainState(NamedTuple):
 
 class BaseSystem:
     def __init__(self, hparams: Dict, mesh=None):
-        self.hparams = hparams
+        # Fill the beyond-reference loss defaults here (single source:
+        # losses_lib.EXTENSION_DEFAULTS) so a reference-era config that
+        # predates the keys trains with the documented production loss,
+        # while direct pano_losses() calls with a key-less dict keep
+        # strict reference parity.
+        self.hparams = hparams = losses_lib.prepare_hparams(hparams)
         self.model = build_model(hparams)
         self.train_randomized = bool(hparams["train.randomized"])
         self.val_randomized = bool(hparams["val.randomized"])
@@ -104,6 +109,7 @@ class PanoNeRFSystem(BaseSystem):
     def make_train_step(self, enable_surf: bool):
         hp = self.hparams
         use_ort = hp["loss.ort_loss"] > 0
+        use_vc = float(hp.get("loss.view_consistency", 0.0)) > 0
         env_rays = self.env_rays
         assert env_rays is not None, "call set_env_rays() first"
 
@@ -117,7 +123,7 @@ class PanoNeRFSystem(BaseSystem):
                     params, step_key, rays, env_rays,
                     randomized=self.train_randomized,
                     white_bkgd=self.white_bkgd, enable_surf=enable_surf,
-                    use_ort_loss=use_ort)
+                    use_ort_loss=use_ort, use_vc_loss=use_vc)
                 parts = losses_lib.pano_losses(outs, rgbs[..., :3], mask, hp,
                                                enable_surf)
                 return parts["loss"], parts
@@ -153,6 +159,7 @@ class PanoNeRFSystem(BaseSystem):
         """
         hp = self.hparams
         use_ort = hp["loss.ort_loss"] > 0
+        use_vc = float(hp.get("loss.view_consistency", 0.0)) > 0
         env_rays = self.env_rays
         assert env_rays is not None, "call set_env_rays() first"
         rays_all, rgbs_all = dataset
@@ -173,7 +180,7 @@ class PanoNeRFSystem(BaseSystem):
                     params, k_model, rays, env_rays,
                     randomized=self.train_randomized,
                     white_bkgd=self.white_bkgd, enable_surf=enable_surf,
-                    use_ort_loss=use_ort)
+                    use_ort_loss=use_ort, use_vc_loss=use_vc)
                 parts = losses_lib.pano_losses(outs, rgbs[..., :3], mask, hp,
                                                enable_surf)
                 return parts["loss"], parts

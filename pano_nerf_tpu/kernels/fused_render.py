@@ -15,9 +15,12 @@ Design notes (TPU):
   columns — no transposes.
 * The exclusive per-ray cumsum and every per-ray reduction are matmuls
   against iota-synthesized 0/1 matrices (block-triangular segment matrix,
-  ray-selection matrix, sample-position matrix) executed at
-  precision=HIGHEST: exact f32 on the MXU (verified: default in-kernel
-  f32 dots truncate to bf16 at ~2e-3 rel error; HIGHEST is ~2e-7).
+  ray-selection matrix, sample-position matrix) executed as TWO-pass
+  hi/lo-split bf16 dots (`_sdot`): ~1.6e-5 rel error at 2 MXU passes.
+  (History: one default pass truncates to bf16 at ~3e-3 rel; round 2 used
+  Precision.HIGHEST for ~2e-7, but its 6-pass Mosaic lowering measured
+  ~an order of magnitude slower than default on these shapes — the
+  round-3 kernel study replaced it with the split form.)
 * Forward-only (eval): no custom_vjp needed; the training step keeps the
   XLA path, which is at its roofline there (NOTES.md fused-kernel
   decision).
@@ -49,30 +52,48 @@ from pano_nerf_tpu.kernels.fused_mlp_normals import _sigma_grad_chain
 _N_W, _N_B = 14, 12
 
 
-import os
-
-
-def _hdot(a, b):
-    """f32 matmul for the compositing matrices. HIGHEST = exact f32
-    (6-pass); default truncates operands to bf16 (~4e-3 rel) but issues
-    1 MXU pass — the env hook exists to A/B the tradeoff on hardware."""
-    prec = (None if os.environ.get("PANO_NERF_RENDER_FAST_DOTS")
-            else jax.lax.Precision.HIGHEST)
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               precision=prec,
+def _bdot(a, b):
+    return jax.lax.dot_general(a.astype(BF16), b.astype(BF16),
+                               (((1,), (0,)), ((), ())),
                                preferred_element_type=F32)
 
 
-ROWS_TARGET = 512
+def _sdot(a, b, split: str):
+    """Near-exact f32 matmul via TWO default bf16 MXU passes.
+
+    `split` names the operand ('a' or 'b') whose values are general f32;
+    it is decomposed hi+lo in bf16 (lossless hi, residual lo ~4e-3 rel)
+    and contracted in two passes with f32 accumulation — max rel error
+    ~1.6e-5, vs ~3e-3 for one pass. The OTHER operand must be exactly
+    bf16-representable: here always one of the iota-synthesized 0/1
+    selection / triangular matrices or a ones-vector. Round-3 replacement
+    for Precision.HIGHEST, whose 6-pass Mosaic lowering measured ~an
+    order of magnitude slower than default on these small compositing
+    shapes (NOTES.md round-3 kernel study).
+    """
+    if split == "a":
+        hi = a.astype(BF16)
+        lo = a - hi.astype(F32)
+        return _bdot(hi, b) + _bdot(lo, b)
+    hi = b.astype(BF16)
+    lo = b - hi.astype(F32)
+    return _bdot(a, hi) + _bdot(a, lo)
+
+
+
+
+import os
+
+ROWS_TARGET = int(os.environ.get("PANO_NERF_EVAL_ROWS", "512"))
 
 
 def rays_per_block(S: int) -> int:
     """Rays per kernel block: ~ROWS_TARGET rows, row count a multiple of 8.
 
-    512 rows measured fastest end-to-end (193-205k rays/s at chunk 4096):
-    larger blocks (1024/2048 rows) lose 2-9% — the grid pipeline's
-    double-buffering matters more than amortizing the per-step
-    compositing constants.
+    512 rows measured fastest end-to-end (193-205k rays/s at chunk 4096
+    with the round-2 HIGHEST compositing dots; re-check after kernel math
+    changes via the PANO_NERF_EVAL_ROWS env hook): larger blocks lose to
+    the grid pipeline's double-buffering.
     """
     # Both block shapes must have their second-to-last dim divisible by 8:
     # the row blocks (RPB * S) and the per-ray blocks (RPB).
@@ -120,17 +141,14 @@ def _render_kernel(mc_ref, ray_ref, *refs, L: int, min_deg: int,
                + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0))
     valid = row_ids < num_rows
 
-    # Per-ray info -> per-row, exactly (HIGHEST on a tiny [rows, RPB] dot).
+    # Per-ray info -> per-row, near-exactly (split dot on [rows, RPB]).
     rsel = (jax.lax.broadcasted_iota(jnp.int32, (rows, RPB), 0) // S
             == jax.lax.broadcasted_iota(jnp.int32, (rows, RPB), 1)
             ).astype(F32)
     ray_ids = (pl.program_id(0) * RPB
                + jax.lax.broadcasted_iota(jnp.int32, (RPB, 1), 0))
     ray = jnp.where(ray_ids * S < num_rows, ray_ref[:], 0.0)  # [RPB, 8]
-    vrow = jax.lax.dot_general(
-        rsel, ray, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=F32)                       # [rows, 8]
+    vrow = _sdot(rsel, ray, "b")                          # [rows, 8]
 
     # ---- MLP forward (shared with v2/v3 kernels) ----
     mc = jnp.where(valid, mc_ref[:], 0.0)
@@ -157,15 +175,15 @@ def _render_kernel(mc_ref, ray_ref, *refs, L: int, min_deg: int,
     psel = (jax.lax.broadcasted_iota(jnp.int32, (rows, S), 0) % S
             == jax.lax.broadcasted_iota(jnp.int32, (rows, S), 1)
             ).astype(F32)
-    dd_ray = _hdot(qsel, psel * dd)                       # [RPB, S]
+    dd_ray = _sdot(qsel, psel * dd, "b")                 # [RPB, S]
     tri = (jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
            < jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)).astype(F32)
-    tau_ray = _hdot(dd_ray, tri)                          # exclusive cumsum
+    tau_ray = _sdot(dd_ray, tri, "a")                    # exclusive cumsum
     w_ray = (1.0 - jnp.exp(-dd_ray)) * jnp.exp(-tau_ray)  # [RPB, S]
     # Per-row weight column for the product contraction below:
     # w[r] = w_ray[r // S, r % S].
-    w = _hdot(_hdot(rsel, w_ray) * psel,
-              jnp.ones((S, 1), F32))                      # [rows, 1]
+    w = _sdot(_sdot(rsel, w_ray, "b") * psel,
+              jnp.ones((S, 1), F32), "a")                 # [rows, 1]
 
     # ---- per-sample stacked products, weighted ----
     col16 = jax.lax.broadcasted_iota(jnp.int32, (rows, OUT_PAD), 1)
@@ -179,7 +197,7 @@ def _render_kernel(mc_ref, ray_ref, *refs, L: int, min_deg: int,
         A = jnp.where((col16 >= 4) & (col16 < 7), alb, A)
         A = jnp.where(col16 == 7, jax.nn.softplus(head - 1.0), A)
 
-    comp16 = _hdot(qsel, A * w)                           # [RPB, 16]
+    comp16 = _sdot(qsel, A * w, "b")                     # [RPB, 16]
 
     acc = comp16[:, 3:4]
     comp_rgb = comp16[:, 0:3]
@@ -203,9 +221,21 @@ def _render_kernel(mc_ref, ray_ref, *refs, L: int, min_deg: int,
         d3 = jnp.where(colN < 3, dsig, 0.0)
         norm = jnp.sqrt(jnp.sum(d3 * d3, axis=-1, keepdims=True))
         n_s = -d3 / jnp.maximum(norm, 1e-12)
-        compN = _hdot(qsel, n_s * w) / jnp.maximum(acc, 1e-12)
-        nnorm = jnp.sqrt(jnp.sum(compN * compN, axis=-1, keepdims=True))
-        pieces.append(compN / jnp.maximum(nnorm, 1e-12))  # [RPB, 8]
+        # Orientation term per sample (reference models/pano_mip_nerf.py:
+        # 308-313): relu(n_s . d)^2 against the UN-normalized ray direction
+        # (rayinfo lanes 5:8); rides lane 3 of the normal block through the
+        # same weighted reduction, divided by acc = sum(w) downstream.
+        ndot = (n_s[:, 0:1] * vrow[:, 5:6] + n_s[:, 1:2] * vrow[:, 6:7]
+                + n_s[:, 2:3] * vrow[:, 7:8])
+        ortw = jnp.maximum(ndot, 0.0) ** 2
+        n_s = jnp.where(colN == 3, ortw, n_s)
+        compN = _sdot(qsel, n_s * w, "b") / jnp.maximum(acc, 1e-12)
+        colR = jax.lax.broadcasted_iota(jnp.int32, (RPB, MC_WIDTH), 1)
+        nvec = jnp.where(colR < 3, compN, 0.0)
+        nnorm = jnp.sqrt(jnp.sum(nvec * nvec, axis=-1, keepdims=True))
+        pieces.append(jnp.where(
+            colR < 3, nvec / jnp.maximum(nnorm, 1e-12),
+            jnp.where(colR == 3, compN, 0.0)))            # [RPB, 8]
     else:
         pieces.append(jnp.zeros((RPB, MC_WIDTH), F32))
     out_ref[:] = jnp.concatenate(pieces + [w_ray], axis=-1)
@@ -244,7 +274,7 @@ def fused_render_level(params, means: jax.Array, covs: jax.Array,
         delta.reshape(-1, 1), t_mids.reshape(-1, 1)], axis=1).astype(F32)
     rayinfo = jnp.concatenate([
         viewdirs, t_samples[:, :1], t_samples[:, -1:],
-        jnp.zeros((R, 3), t_samples.dtype)], axis=1).astype(F32)
+        dirs], axis=1).astype(F32)
     packed = pack_params(params, num_density_channels)
 
     rows_blk = RPB * S
@@ -274,10 +304,11 @@ def fused_render_level(params, means: jax.Array, covs: jax.Array,
     out = out[:R]
     res = dict(rgb=out[:, 0:3], acc=out[:, 3], distance=out[:, 4],
                weights=out[:, OUT_FIXED:OUT_FIXED + S],
-               normal=None, albedo=None, roughness=None)
+               normal=None, albedo=None, roughness=None, ort=None)
     if need_extras:
         res["albedo"] = out[:, 5:8]
         res["roughness"] = out[:, 8]
     if need_normals:
         res["normal"] = out[:, 9:12]
+        res["ort"] = out[:, 12]  # per-ray sum_s w_norm * relu(n.d)^2
     return res

@@ -46,6 +46,9 @@ class LevelOutput(NamedTuple):
     diffuse: Optional[Array] = None   # [B, 3] diffuse term
     shading: Optional[Array] = None   # [B, 3] irradiance (shading) term
     dist_loss: Optional[Array] = None  # scalar mip-NeRF-360 distortion loss
+    rgb_alt: Optional[Array] = None   # [B, 3] same samples, random viewdir
+    #   (view-consistency supervision, round-3 HDR attack — see
+    #   engine/losses.py::pano_losses view_consistency term)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -135,12 +138,47 @@ class BaseNeRF:
     # the kernels are enabled; False falls back to the per-subgraph
     # v1/v2/v3 kernels with XLA compositing.
     use_render_kernel: bool = True
+    # Training megakernel path (round 3): route the coarse level and the
+    # secondary env radiance queries through the custom_vjp whole-level
+    # train render (kernels/fused_render_train.py — fwd and bwd are each
+    # one pallas call with per-RAY boundaries; XLA keeps the per-ray loss
+    # math). Independent of use_fused_kernel.
+    use_train_render_kernel: bool = False
+    # Spill bf16 trunk activations for the train-kernel backward instead of
+    # recomputing them in VMEM (bytes vs FLOPs tradeoff; measured on
+    # hardware, NOTES.md round-3).
+    train_kernel_save_acts: bool = False
+    # Which training subgraphs ride fused_render_train: "all" | "coarse" |
+    # "env" (A/B isolation knob; "all" in production).
+    train_kernel_scope: str = "all"
+    # Target rows per train-kernel block (block = RPB rays x S samples).
+    train_kernel_rows: int = 512
+    # Batch-aware training-kernel policy: training calls (first_order=False)
+    # with at least this many rays dispatch through the fused fine-level
+    # kernel automatically. Measured crossover (NOTES.md fused-kernel
+    # decision): XLA wins at batch 512 (fusion windows hold), the v3 kernel
+    # wins at >= 1024 (75.4k vs 72.9k rays/s; 66.5k vs 63.2k at 2048).
+    # 0 disables the auto-policy. Batches below the threshold trace exactly
+    # as before (static shape check, resolved at trace time).
+    fused_batch_threshold: int = 1024
     # Explicit env-direction sampling mode; "auto" resolves from the legacy
     # booleans (importance > rotated > fixed). "stratified" jitters each
     # direction within its own cell with overlap-exact weights
     # (ops/mip.py::stratified_env_directions) — unbiased like "rotated" but
     # with per-stratum variance only.
     env_sampling: str = "auto"
+
+    def _auto_fused_train(self, batch: int):
+        """Batch-aware training-kernel policy (NOTES.md crossover): returns
+        a fused copy of self when a training call at this batch size should
+        ride the v3 fine-level kernel, else None. Static — resolved at
+        trace time from the (static) ray count."""
+        if (self.use_fused_kernel or self.fused_batch_threshold <= 0
+                or batch < self.fused_batch_threshold):
+            return None
+        cand = dataclasses.replace(self, use_fused_kernel=True,
+                                   fused_scope="fine")
+        return cand if cand._fused_ok("fine") else None
 
     def _env_mode(self) -> str:
         if self.env_sampling != "auto":
@@ -189,6 +227,12 @@ class BaseNeRF:
             env_sampling=str(hparams.get("nerf.env_sampling", "auto")),
             use_fused_kernel_eval=bool(
                 hparams.get("nerf.use_fused_kernel_eval", True)),
+            fused_batch_threshold=int(
+                hparams.get("nerf.fused_batch_threshold", 1024)),
+            use_train_render_kernel=bool(
+                hparams.get("nerf.use_train_render_kernel", False)),
+            train_kernel_save_acts=bool(
+                hparams.get("nerf.train_kernel_save_acts", False)),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -223,6 +267,21 @@ class BaseNeRF:
 
     # ----- encode + MLP + activations ------------------------------------
 
+    def _kernel_topology_ok(self) -> bool:
+        """TPU backend + the standard topology every Pallas kernel in
+        kernels/ is specialized to (8-deep skip-4 trunk, bf16 matmuls)."""
+        import os
+        if os.environ.get("PANO_NERF_PALLAS_INTERPRET", "0") != "1":
+            try:
+                if jax.default_backend() not in ("tpu", "axon"):
+                    return False
+            except RuntimeError:
+                return False
+        return (self.use_viewdirs and self.mlp_net_depth == 8
+                and self.mlp_skip_index == 4
+                and self.mlp_net_depth_condition == 1
+                and self.compute_dtype == jnp.bfloat16)
+
     def _fused_ok(self, scope: str = "aux") -> bool:
         """Fused kernel is available: TPU backend + standard topology.
 
@@ -233,15 +292,7 @@ class BaseNeRF:
             return False
         if self.fused_scope != "all" and self.fused_scope != scope:
             return False
-        try:
-            if jax.default_backend() not in ("tpu", "axon"):
-                return False
-        except RuntimeError:
-            return False
-        return (self.use_viewdirs and self.mlp_net_depth == 8
-                and self.mlp_skip_index == 4
-                and self.mlp_net_depth_condition == 1
-                and self.compute_dtype == jnp.bfloat16)
+        return self._kernel_topology_ok()
 
     def _raw_outputs(self, params, means: Array, covs: Array, viewdirs: Array,
                      fused: bool = False) -> Tuple[Array, Array]:

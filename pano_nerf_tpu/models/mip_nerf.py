@@ -38,6 +38,13 @@ class MipNeRF(BaseNeRF):
             fused_self = dataclasses.replace(self, use_fused_kernel=True)
             return fused_self(params, key, rays, randomized, white_bkgd,
                               use_ort_loss, first_order)
+        if not first_order:
+            # Batch-aware training-kernel policy (BaseNeRF.
+            # fused_batch_threshold; NOTES.md crossover measurement).
+            auto = self._auto_fused_train(rays.origins.shape[0])
+            if auto is not None:
+                return auto(params, key, rays, randomized, white_bkgd,
+                            use_ort_loss, first_order)
         keys = jax.random.split(key, 2 * self.num_levels)
         ret: List[LevelOutput] = []
         t_samples, weights = None, None

@@ -89,7 +89,8 @@ class PanoMipNeRF(BaseNeRF):
 
     def _render_fused(self, params, key: jax.Array, rays: Rays,
                       env_rays: Rays, randomized: bool, white_bkgd: bool,
-                      enable_surf: bool) -> List[LevelOutput]:
+                      enable_surf: bool,
+                      use_ort_loss: bool = False) -> List[LevelOutput]:
         """Eval render through the whole-level fused kernel.
 
         Semantics match the standard path at randomized=False (parity
@@ -124,7 +125,9 @@ class PanoMipNeRF(BaseNeRF):
                                        acc=r["acc"]))
                 continue
             out = dict(rgb=r["rgb"], distance=r["distance"], acc=r["acc"],
-                       normal=r["normal"], roughness=r["roughness"])
+                       normal=r["normal"], roughness=r["roughness"],
+                       ort_loss=(jnp.mean(r["ort"]) if use_ort_loss
+                                 else None))
             if enable_surf:
                 albedo = r["albedo"]
                 surf_origins = (rays.origins
@@ -150,8 +153,8 @@ class PanoMipNeRF(BaseNeRF):
 
     def __call__(self, params, key: jax.Array, rays: Rays, env_rays: Rays,
                  randomized: bool, white_bkgd: bool, enable_surf: bool,
-                 use_ort_loss: bool, first_order: bool = False
-                 ) -> List[LevelOutput]:
+                 use_ort_loss: bool, first_order: bool = False,
+                 use_vc_loss: bool = False) -> List[LevelOutput]:
         """Coarse/fine forward. `first_order=True` promises the caller will
         differentiate the outputs at most once (e.g. eval rendering), which
         lets the fine level use the fused Pallas kernel too; the coarse and
@@ -165,15 +168,49 @@ class PanoMipNeRF(BaseNeRF):
             fused_self = dataclasses.replace(self, use_fused_kernel=True)
             return fused_self(params, key, rays, env_rays, randomized,
                               white_bkgd, enable_surf, use_ort_loss,
-                              first_order)
+                              first_order, use_vc_loss)
+        if not first_order:
+            # Batch-aware training policy: large batches collapse XLA's
+            # fusion windows and the v3 kernel wins (BaseNeRF.
+            # fused_batch_threshold); batch 512 traces exactly as before.
+            auto = self._auto_fused_train(rays.origins.shape[0])
+            if auto is not None:
+                return auto(params, key, rays, env_rays, randomized,
+                            white_bkgd, enable_surf, use_ort_loss,
+                            first_order, use_vc_loss)
         if (first_order and self.use_render_kernel
                 and self.fused_scope == "all"
                 and self._fused_ok("fine") and self.append_identity
-                and (not randomized or self.density_noise == 0)):
+                and (not randomized
+                     or (self.density_noise == 0
+                         and self._env_mode() == "fixed"))):
             # Whole-level render kernel: MLP + compositing + expectations
             # in VMEM, per-RAY boundary tensors (kernels/fused_render.py).
+            # Unsupported combinations (density noise, randomized non-fixed
+            # env sampling) fall through to the standard path above.
             return self._render_fused(params, key, rays, env_rays,
-                                      randomized, white_bkgd, enable_surf)
+                                      randomized, white_bkgd, enable_surf,
+                                      use_ort_loss)
+        # Training megakernel policy (kernels/fused_render_train.py): the
+        # coarse level and env queries render through one-pallas-call
+        # fwd/bwd pairs with per-ray boundaries. Density noise is the one
+        # unsupported feature; first-order calls use the eval kernels above.
+        use_tk = (self.use_train_render_kernel and not first_order
+                  and self._kernel_topology_ok()
+                  and (not randomized or self.density_noise == 0))
+
+        def train_kernel_level(means, covs, viewdirs, t_s, dirs_,
+                               white_bkgd_):
+            from pano_nerf_tpu.kernels.fused_render_train import (
+                fused_render_train)
+            return fused_render_train(
+                params, means, covs, viewdirs, t_s, dirs_,
+                self.mlp_num_density_channels, self.min_deg_point,
+                self.max_deg_point, self.deg_view, self.density_bias,
+                self.rgb_padding, white_bkgd_,
+                save_acts=self.train_kernel_save_acts,
+                rows_target=self.train_kernel_rows)
+
         keys = jax.random.split(key, 2 * self.num_levels + 1)
         k_env = keys[-1]
         ret: List[LevelOutput] = []
@@ -184,6 +221,17 @@ class PanoMipNeRF(BaseNeRF):
                 randomized)
             fine_level = (i_level == self.num_levels - 1
                           and self.num_levels >= 2)
+            if (not fine_level and use_tk
+                    and self.train_kernel_scope in ("all", "coarse")):
+                r = train_kernel_level(means, covs, rays.viewdirs,
+                                       t_samples, rays.directions,
+                                       white_bkgd)
+                weights = r["weights"]
+                dist_loss = (mip.distortion_loss(t_samples, weights)
+                             if randomized else None)
+                ret.append(LevelOutput(rgb=r["rgb"], distance=r["distance"],
+                                       acc=r["acc"], dist_loss=dist_loss))
+                continue
 
             def make_graph(covs, viewdirs, noise_key, fused):
                 def fn(m):
@@ -254,6 +302,31 @@ class PanoMipNeRF(BaseNeRF):
                        ort_loss=ort_loss, normal=normal,
                        roughness=jnp.sum(w_norm[..., 0] * roughnesses[..., 0],
                                          axis=-1))
+            if use_vc_loss and randomized:
+                # View-consistency query (round-3 HDR attack): re-evaluate
+                # the SAME fine samples under a random view direction and
+                # composite with stop-gradient weights. The resulting
+                # rgb_alt ties the view-dependent radiance head across
+                # directions (engine/losses.py), closing the measured
+                # primary-view/env-view decoupling that blocks the
+                # irradiance coupling from lifting saturated sources above
+                # the tonemap knee (NOTES.md HDR study mechanism 2).
+                # First-order subgraph (feeds the loss directly) — may fuse.
+                k_vc = jax.random.fold_in(key, 0x5C)
+                d_alt = jax.random.normal(k_vc, rays.viewdirs.shape)
+                d_alt = d_alt / jnp.maximum(
+                    jnp.linalg.norm(d_alt, axis=-1, keepdims=True), 1e-12)
+                raw_rgb_alt, _ = self._raw_outputs(
+                    params, means, covs, d_alt, fused=True)
+                rgb_alt_s = (jax.nn.softplus(raw_rgb_alt)
+                             * (1.0 + 2.0 * self.rgb_padding)
+                             - self.rgb_padding)
+                w_sg = jax.lax.stop_gradient(weights)
+                rgb_alt = jnp.sum(w_sg[..., None] * rgb_alt_s, axis=-2)
+                if white_bkgd:
+                    rgb_alt = rgb_alt + (
+                        1.0 - jax.lax.stop_gradient(acc)[..., None])
+                out["rgb_alt"] = rgb_alt
             if enable_surf:
                 # Expected albedo along the primary ray.
                 albedo = jnp.sum(w_norm * albedos, axis=-2)
@@ -312,10 +385,21 @@ class PanoMipNeRF(BaseNeRF):
 
                 # Secondary radiance query: [B, D, S, .] — always first-order
                 # (its output feeds the loss directly), so may always fuse.
-                env_graph = make_graph(lit_covs, lit_dirs, None, fused=True)
-                e_rgb, e_density, _, _ = env_graph(lit_means)
-                env_rgb, *_ = mip.volumetric_rendering(
-                    e_rgb, e_density, lit_t, lit_dirs, white_bkgd=False)
+                if use_tk and self.train_kernel_scope in ("all", "env"):
+                    B, D, S2 = lit_means.shape[:3]
+                    re = train_kernel_level(
+                        lit_means.reshape(B * D, S2, 3),
+                        lit_covs.reshape(B * D, S2, 3),
+                        lit_dirs.reshape(B * D, 3),
+                        lit_t.reshape(B * D, S2 + 1),
+                        lit_dirs.reshape(B * D, 3), False)
+                    env_rgb = re["rgb"].reshape(B, D, 3)
+                else:
+                    env_graph = make_graph(lit_covs, lit_dirs, None,
+                                           fused=True)
+                    e_rgb, e_density, _, _ = env_graph(lit_means)
+                    env_rgb, *_ = mip.volumetric_rendering(
+                        e_rgb, e_density, lit_t, lit_dirs, white_bkgd=False)
 
                 surf_rgb, diffuse, _, shade = shading.surface_rendering(
                     env_rgb, albedo, normal, None, lit_dirs, rays.viewdirs,

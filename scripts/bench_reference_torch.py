@@ -200,6 +200,101 @@ def load_hparams():
     return hp
 
 
+def run_steps_to_target(args):
+    """Train the torch reference on a scene dir until val LDR ws-PSNR
+    crosses --target; report the step count (VERDICT r2 #3: the
+    reference-side anchor for the time-to-quality metric).
+
+    Steps-to-quality is hardware-independent, so the 1-core CPU is a valid
+    place to measure it; a REDUCED config (scene res / samples / env dirs)
+    keeps the wall time feasible — run OUR side at the same reduced config
+    (scripts/bench_quality.py with matching overrides) and use the STEP
+    RATIO to scale our measured full-config time-to-25dB into a
+    reference-side anchor (derivation in BASELINE.md).
+    """
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import datasets.pano_datasets  # noqa: F401
+    import jax.numpy as jnp
+
+    from pano_nerf_tpu.data.io_exr import read_exr as our_read_exr
+    from pano_nerf_tpu.data.pano_dataset import PanoDataset
+    from pano_nerf_tpu.ops.shading import hdr_to_ldr as our_hdr_to_ldr
+    from pano_nerf_tpu.utils import metrics as jmetrics
+
+    sys.modules["utils.io_exr"].read_exr = our_read_exr
+    sys.modules["datasets.pano_datasets"].read_exr = our_read_exr
+
+    hp = load_hparams()
+    hp["nerf.num_ray_samples"] = args.env_dirs
+    hp["nerf.num_samples"] = args.num_samples
+    hp["nerf.num_env_samples"] = args.env_samples
+    torch.manual_seed(0)
+
+    train_ds = PanoDataset(args.data_path, split="train", factor=1,
+                           num=args.views, range=(0, 10))
+    val_ds = PanoDataset(args.data_path, split="val", factor=1,
+                         num=args.views, range=(0, 10))
+    env = np_rays_to_torch(train_ds.generate_lit_rays(
+        num=args.env_dirs, far=10.0))
+    rays_v, img_gt, *_ = val_ds[0]
+    h, w = img_gt.shape[:2]
+    flat = [np.asarray(getattr(rays_v, k)).reshape(
+        -1, getattr(rays_v, k).shape[-1]) for k in rays_v._fields]
+    gt_ldr = our_hdr_to_ldr(jnp.asarray(img_gt))
+
+    def val_psnr(model):
+        preds = []
+        with torch.no_grad():
+            for s in range(0, h * w, args.chunk):
+                chunk = RefRays(*(torch.as_tensor(f[s:s + args.chunk])
+                                  for f in flat))
+                outs = model(rays=chunk, env_rays=env, randomized=False,
+                             white_bkgd=False, enable_surf=False,
+                             use_ort_loss=False)
+                preds.append(outs[-1][0].numpy())
+        pred = np.concatenate(preds, 0).reshape(h, w, 3)
+        return float(jmetrics.ws_psnr(
+            our_hdr_to_ldr(jnp.asarray(pred)), gt_ldr))
+
+    model = build_ref_model(hp)
+    opt = torch.optim.Adam(model.parameters(), lr=hp["optimizer.lr_init"])
+    sched = MipLRDecay(opt, hp["optimizer.lr_init"], 2e-6, args.max_steps,
+                       120, 0.01)
+    it = train_ds.iter_batches(args.batch, seed=0)
+    t0 = time.time()
+    curve, hit = [], None
+    for step in range(1, args.max_steps + 1):
+        rays_np, rgbs_np, *_ = next(it)
+        loss = ref_training_step(model, np_rays_to_torch(rays_np), env,
+                                 torch.as_tensor(rgbs_np), hp,
+                                 enable_surf=True)
+        opt.zero_grad(); loss.backward(); opt.step(); sched.step()
+        if step % args.val_every == 0:
+            p = val_psnr(model)
+            curve.append((step, round(p, 3)))
+            print(f"[ref {step}] ldr_ws_psnr={p:.3f} loss={float(loss):.5f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+            if hit is None and p >= args.target:
+                hit = step
+                break
+    result = {
+        "mode": "reference_steps_to_target_cpu",
+        "target_ldr_ws_psnr": args.target,
+        "steps_to_target": hit,
+        "batch": args.batch,
+        "config": {"num_samples": args.num_samples,
+                   "env_dirs": args.env_dirs,
+                   "env_samples": args.env_samples,
+                   "scene": args.data_path},
+        "psnr_curve": curve,
+        "wall_seconds": round(time.time() - t0, 1),
+    }
+    print(json.dumps(result))
+    with open(os.path.join(REPO, "REF_STEPS_TO_TARGET.json"), "w") as fp:
+        json.dump(result, fp, indent=1)
+
+
 def run_quality(args):
     """Train the torch reference on a scene dir; report val ws-PSNR."""
     import jax
@@ -269,8 +364,8 @@ def run_quality(args):
         "mode": "reference_quality_cpu",
         "steps": args.quality_steps,
         "env_dirs": args.env_dirs,
-        "ws_psnr_hdr": float(jmetrics.calc_ws_psnr(pred_hdr_j, gt_j)),
-        "ws_psnr_ldr": float(jmetrics.calc_ws_psnr(
+        "ws_psnr_hdr": float(jmetrics.ws_psnr(pred_hdr_j, gt_j)),
+        "ws_psnr_ldr": float(jmetrics.ws_psnr(
             our_hdr_to_ldr(pred_hdr_j), our_hdr_to_ldr(gt_j))),
         "pred_max_radiance": float(pred_hdr.max()),
         "gt_max_radiance": float(np.asarray(img_gt).max()),
@@ -293,8 +388,16 @@ def main():
     ap.add_argument("--views", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--chunk", type=int, default=1024)
     ap.add_argument("--num-samples", type=int, default=64)
+    ap.add_argument("--steps-to-target", action="store_true",
+                    help="measure reference steps to --target LDR ws-PSNR")
+    ap.add_argument("--target", type=float, default=25.0)
+    ap.add_argument("--max_steps", type=int, default=20000)
+    ap.add_argument("--val_every", type=int, default=250)
+    ap.add_argument("--env-samples", type=int, default=10)
     args = ap.parse_args()
 
+    if args.steps_to_target:
+        return run_steps_to_target(args)
     if args.quality_steps:
         return run_quality(args)
 

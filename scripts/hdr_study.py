@@ -81,6 +81,14 @@ VARIANTS = {
     "rotx": {"nerf.env_sampling": "rotated"},
     # With the unclipped-prediction tonemap fix on top of the stabilizers.
     "refx2": {"nerf.env_sampling": "fixed"},
+    # Round-3: view-consistency loss on top of refx2 — ties the
+    # view-dependent radiance head across directions so irradiance
+    # evidence can lift saturated sources above the knee (the measured
+    # decoupling, NOTES.md HDR study mechanism 2). Number = weight.
+    "vc003": {"nerf.env_sampling": "fixed", "loss.view_consistency": 0.03},
+    "vc01": {"nerf.env_sampling": "fixed", "loss.view_consistency": 0.1},
+    "vc03": {"nerf.env_sampling": "fixed", "loss.view_consistency": 0.3},
+    "vc1": {"nerf.env_sampling": "fixed", "loss.view_consistency": 1.0},
 }
 
 

@@ -7,6 +7,8 @@ Pallas interpret mode on the CPU suite; the same comparison compiles on
 TPU (PANO_NERF_TEST_TPU=1).
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -16,6 +18,15 @@ from tests.conftest import make_rays
 
 from pano_nerf_tpu.data.pano_dataset import generate_lit_rays
 from pano_nerf_tpu.models.pano_mip_nerf import PanoMipNeRF
+
+
+def xla_baseline(model):
+    """A copy whose first-order calls CANNOT dispatch into any kernel, so
+    the parity tests compare kernel vs genuine XLA on every backend (on
+    TPU the plain model would re-dispatch into _render_fused itself)."""
+    return dataclasses.replace(model, use_render_kernel=False,
+                               use_fused_kernel_eval=False,
+                               use_fused_kernel=False)
 
 
 @pytest.fixture()
@@ -38,9 +49,10 @@ class TestRenderKernelParity:
     def test_full_level_outputs_match_standard_path(self, interpret, setup):
         model, params, env, rays = setup
         k = jax.random.PRNGKey(3)
-        std = model(params, k, rays, env, randomized=False,
-                    white_bkgd=False, enable_surf=True, use_ort_loss=False,
-                    first_order=True)
+        std = xla_baseline(model)(
+            params, k, rays, env, randomized=False,
+            white_bkgd=False, enable_surf=True, use_ort_loss=False,
+            first_order=True)
         fused = model._render_fused(params, k, rays, env, randomized=False,
                                     white_bkgd=False, enable_surf=True)
         assert len(fused) == len(std)
@@ -77,6 +89,81 @@ class TestRenderKernelParity:
                                    np.asarray(s.shading)[ok], rtol=0.1,
                                    atol=3e-2)
 
+    def test_ort_loss_matches_standard_path(self, interpret, setup):
+        """use_ort_loss=True through the render kernel reproduces the
+        standard-path orientation loss (VERDICT r2 #7).
+
+        Compared on IDENTICAL fine samples: at random init many rays'
+        normals are noise-dominated, and relu(n.d)^2 chaotically amplifies
+        the ~1e-4 resampling shift between the kernel and XLA coarse
+        weights, so an end-to-end scalar comparison is meaningless (other
+        outputs match; see the distribution-bounded checks above)."""
+        from pano_nerf_tpu.kernels.fused_render import fused_render_level
+        from pano_nerf_tpu.ops import mip
+        model, params, env, rays = setup
+        k = jax.random.PRNGKey(3)
+        keys = jax.random.split(k, 5)
+        t0, (m0, c0) = model._sample_level(keys[0], rays, 0, None, None,
+                                           False)
+        r0 = fused_render_level(
+            params, m0, c0, rays.viewdirs, t0, rays.directions, 5,
+            model.min_deg_point, model.max_deg_point, model.deg_view,
+            model.density_bias, model.rgb_padding, False, False, False)
+        t1, (m1, c1) = model._sample_level(keys[2], rays, 1, t0,
+                                           r0["weights"], False)
+        r1 = fused_render_level(
+            params, m1, c1, rays.viewdirs, t1, rays.directions, 5,
+            model.min_deg_point, model.max_deg_point, model.deg_view,
+            model.density_bias, model.rgb_padding, False, True, True)
+        # Standard-path ort on the SAME samples.
+        base = xla_baseline(model)
+        raw_rgb, raw_density, d_raw = base._raw_outputs_density_grad(
+            params, m1, c1, rays.viewdirs)
+        raw_sigma, _, _ = base._split_heads(raw_density)
+        density = jax.nn.softplus(raw_sigma + base.density_bias)
+        rgb = jax.nn.softplus(raw_rgb)
+        d_means = jax.nn.sigmoid(raw_sigma + base.density_bias) * d_raw
+        _, _, _, w = mip.volumetric_rendering(rgb, density, t1,
+                                              rays.directions, False)
+        _, ort_std, _ = base._expected_normals(w, -d_means, rays.directions,
+                                               use_ort_loss=True)
+        ort_kernel = float(jnp.mean(r1["ort"]))
+        np.testing.assert_allclose(ort_kernel, float(ort_std), rtol=0.03,
+                                   atol=1e-3)
+        # Plumbing: _render_fused surfaces the scalar when requested.
+        fused = model._render_fused(params, k, rays, env, randomized=False,
+                                    white_bkgd=False, enable_surf=False,
+                                    use_ort_loss=True)
+        assert fused[-1].ort_loss is not None
+        assert np.isfinite(float(fused[-1].ort_loss))
+
+    def test_dispatch_falls_back_for_unsupported_combos(self, setup):
+        """randomized + non-fixed env sampling must NOT take the render
+        kernel (it would silently use the fixed env set)."""
+        model, params, env, rays = setup
+        rotated = dataclasses.replace(model, env_sampling="rotated")
+        called = []
+        orig = PanoMipNeRF._render_fused
+
+        def spy(self, *a, **kw):
+            called.append(True)
+            return orig(self, *a, **kw)
+
+        try:
+            PanoMipNeRF._render_fused = spy
+            rotated(params, jax.random.PRNGKey(0), rays, env,
+                    randomized=True, white_bkgd=False, enable_surf=False,
+                    use_ort_loss=False, first_order=True)
+            assert not called  # fell back to the standard path
+            rotated(params, jax.random.PRNGKey(0), rays, env,
+                    randomized=False, white_bkgd=False, enable_surf=False,
+                    use_ort_loss=False, first_order=True)
+            if jax.default_backend() in ("tpu", "axon"):
+                # Deterministic calls keep riding the kernel.
+                assert called
+        finally:
+            PanoMipNeRF._render_fused = orig
+
     def test_white_bkgd_composites(self, interpret, setup):
         model, params, env, rays = setup
         k = jax.random.PRNGKey(3)
@@ -92,9 +179,10 @@ class TestRenderKernelParity:
         they shape the fine level's sample distribution."""
         model, params, env, rays = setup
         k = jax.random.PRNGKey(3)
-        std = model(params, k, rays, env, randomized=False,
-                    white_bkgd=False, enable_surf=False,
-                    use_ort_loss=False, first_order=True)
+        std = xla_baseline(model)(
+            params, k, rays, env, randomized=False,
+            white_bkgd=False, enable_surf=False,
+            use_ort_loss=False, first_order=True)
         fused = model._render_fused(params, k, rays, env,
                                     randomized=False, white_bkgd=False,
                                     enable_surf=False)

@@ -3,16 +3,20 @@
 import jax.numpy as jnp
 import numpy as np
 
-from pano_nerf_tpu.engine.losses import mipnerf_losses, pano_losses
+from pano_nerf_tpu.engine.losses import (mipnerf_losses, pano_losses,
+                                         prepare_hparams)
 from pano_nerf_tpu.models.base import LevelOutput
 from pano_nerf_tpu.ops.shading import hdr_to_ldr
 
+# Key-less dict = strict reference-loss parity (stabilizers off).
 HP = {
     "loss.coarse_loss_mult": 0.1,
     "loss.surface_loss": 1.0,
     "loss.ort_loss": 0.1,
     "loss.chrom_loss": 0.1,
 }
+# Production defaults (what the systems train with).
+HP_PROD = prepare_hparams(HP)
 
 
 def level(rgb, **kw):
@@ -135,14 +139,15 @@ class TestStabilizerLosses:
         gt = jnp.ones((B, 3)) * 20.0  # saturated
         outs = [level(jnp.ones((B, 3)) * 20.0),
                 level(jnp.ones((B, 3)) * 20.0, ort_loss=jnp.asarray(0.0))]
-        hp_off = dict(HP, **{"loss.distortion_loss": 0,
-                             "loss.saturation_loss": 0})
-        p_off = pano_losses(outs, gt, jnp.ones((B, 1)), hp_off,
-                            enable_surf=False)
-        p_on = pano_losses(outs, gt, jnp.ones((B, 1)), HP,
+        p_off = pano_losses(outs, gt, jnp.ones((B, 1)), HP,
+                            enable_surf=False)  # key-less = parity = off
+        p_on = pano_losses(outs, gt, jnp.ones((B, 1)), HP_PROD,
                            enable_surf=False)
         assert "sat" in p_on and float(p_on["sat"]) > 0
         assert float(p_on["loss"]) > float(p_off["loss"])
+        # prepare_hparams never overrides explicit values.
+        hp_explicit = prepare_hparams(dict(HP, **{"loss.saturation_loss": 0}))
+        assert hp_explicit["loss.saturation_loss"] == 0
 
     def test_unclipped_pred_tonemap_restores_gradient(self):
         """Past-knee predictions keep a restoring gradient toward an
@@ -157,8 +162,8 @@ class TestStabilizerLosses:
             return pano_losses(outs, gt, jnp.ones((2, 1)), hp,
                                enable_surf=False)["loss"]
 
-        hp_on = dict(HP, **{"loss.saturation_loss": 0,
-                            "loss.distortion_loss": 0})
+        hp_on = dict(HP_PROD, **{"loss.saturation_loss": 0,
+                                 "loss.distortion_loss": 0})
         g_on = float(jax.grad(loss_of)(SATURATION_KNEE + 3.0, hp_on))
         assert g_on > 0  # pulls the overshoot down
         hp_off = dict(hp_on, **{"loss.unclipped_pred_tonemap": False})
