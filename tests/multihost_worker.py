@@ -59,7 +59,25 @@ def main():
     state, parts = step(state, batch, jax.random.PRNGKey(1))
     loss = float(jax.device_get(parts["loss"]))
     assert np.isfinite(loss), loss
-    print("RESULT " + json.dumps({"pid": pid, "loss": loss}), flush=True)
+
+    # Device-resident production path under the multi-process world
+    # (VERDICT r2 #5): put_dataset_on_device replicates the flattened ray
+    # set via the process-local branch of parallel/mesh.py:57-73, and the
+    # jitted step samples its batch on device. Every rank holds identical
+    # data, so the sampled batches and losses must agree across ranks.
+    ds_rays = _make_rays(64, seed=3)
+    ds_rgbs = np.abs(np.random.default_rng(3).standard_normal(
+        (64, 3))).astype(np.float32)
+    dataset = system.put_dataset_on_device(ds_rays, ds_rgbs)
+    dstep = system.make_train_step_device_data(dataset, enable_surf=True,
+                                               batch_size=8)
+    dstate = system.create_state(jax.random.PRNGKey(0))
+    dstate, dparts = dstep(dstate, jax.random.PRNGKey(2))
+    dloss = float(jax.device_get(dparts["loss"]))
+    assert np.isfinite(dloss), dloss
+
+    print("RESULT " + json.dumps({"pid": pid, "loss": loss,
+                                  "device_data_loss": dloss}), flush=True)
 
 
 if __name__ == "__main__":

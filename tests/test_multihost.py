@@ -56,10 +56,15 @@ def test_two_process_train_step():
         outs.append(out)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
-    losses = []
+    results = []
     for out in outs:
         line = [l for l in out.splitlines() if l.startswith("RESULT ")][-1]
-        losses.append(json.loads(line[len("RESULT "):])["loss"])
+        results.append(json.loads(line[len("RESULT "):]))
+    losses = [r["loss"] for r in results]
     assert np.isfinite(losses).all()
     # SPMD: every rank computes the same global loss.
     assert abs(losses[0] - losses[1]) < 1e-6, losses
+    # Device-resident production path (VERDICT r2 #5): rank-identical too.
+    dlosses = [r["device_data_loss"] for r in results]
+    assert np.isfinite(dlosses).all()
+    assert abs(dlosses[0] - dlosses[1]) < 1e-6, dlosses
