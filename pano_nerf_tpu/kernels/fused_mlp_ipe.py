@@ -67,6 +67,14 @@ def _ipe96(mc, L: int, min_deg: int, F: int):
     — while each elementwise product against an exact power of two is exact
     f32, bitwise-matching ops/mip.py's HIGHEST-precision encoding.
     """
+    x32, att, y = _ipe96x(mc, L, min_deg, F)[1:]
+    return x32.astype(BF16), att, y
+
+
+def _ipe96x(mc, L: int, min_deg: int, F: int):
+    """_ipe96 variant that also returns the f32 features (att*sin(y))
+    for backward-side reuse — callers derive att*cos(y) via _att_cos
+    instead of a second transcendental."""
     col = jax.lax.broadcasted_iota(jnp.int32, (1, F), 1)
     j = col % (3 * L)
     deg = (j // 3 + min_deg).astype(F32)
@@ -80,7 +88,22 @@ def _ipe96(mc, L: int, min_deg: int, F: int):
         var = var + mc[:, 3 + d:4 + d] * jnp.where(pick,
                                                    jnp.exp2(2.0 * deg), 0.0)
     att = jnp.exp(-0.5 * var)
-    return (att * jnp.sin(y)).astype(BF16), att, y
+    x32 = att * jnp.sin(y)
+    return x32.astype(BF16), x32, att, y
+
+
+def _att_cos(x32, L: int):
+    """att * cos(y) from x32 = att * sin(y) WITHOUT a cos transcendental.
+
+    The feature layout is [sin block | cos block] with y_cos = y_sin + pi/2
+    and shared attenuation, so cos(y_sin) = sin(y_cos) and cos(y_cos) =
+    -sin(y_sin): att*cos(y) is a half-width lane rotation with a sign flip
+    — one VPU shuffle instead of a [rows, F] transcendental (the sin/exp
+    evaluations dominate the forward kernels' VPU time; NOTES.md round-3
+    kernel study).
+    """
+    P = 3 * L
+    return jnp.concatenate([x32[:, P:2 * P], -x32[:, :P]], axis=1)
 
 
 def _fwd_kernel(mc_ref, v_ref, *refs, L: int, min_deg: int, F: int):
@@ -121,7 +144,7 @@ def _bwd_ipe_kernel(mc_ref, v_ref, *refs, L: int, min_deg: int, F: int,
     g = jnp.where(valid, g_ref[:], 0.0)
 
     # --- recompute forward ---
-    x, att, y = _ipe96(mc, L, min_deg, F)
+    x, x32, att, y = _ipe96x(mc, L, min_deg, F)
     h7, acts = _trunk_forward(x, ws, bs)
     btl = (_f32dot(h7, ws["wb"]) + bs["bb"]).astype(BF16)
     zv = _f32dot(btl, ws["wva"]) + _f32dot(v, ws["wvb"]) + bs["bv"]
@@ -171,8 +194,8 @@ def _bwd_ipe_kernel(mc_ref, v_ref, *refs, L: int, min_deg: int, F: int,
     # att = exp(-0.5 mc@sel_v). dy = dfeat*att*cos(y);
     # datt-arg = -0.5*dfeat*att*sin(y). All [B, F] lanes. ---
     sel_y, sel_v = _sel_matrices(L, min_deg, F)
-    dy = dx * (att * jnp.cos(y))
-    dvar = -0.5 * dx * (att * jnp.sin(y))
+    dy = dx * _att_cos(x32, L)
+    dvar = -0.5 * dx * x32
     dmc_ref[:] = _dot_nt(dy, sel_y) + _dot_nt(dvar, sel_v)
 
 

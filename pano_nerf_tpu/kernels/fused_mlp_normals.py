@@ -52,8 +52,8 @@ from pano_nerf_tpu.kernels.fused_mlp import (BF16, BLOCK_M, F32, OUT_PAD,
                                              _dot_t_accum, _f32dot,
                                              _interpret, _trunk_forward,
                                              pack_params)
-from pano_nerf_tpu.kernels.fused_mlp_ipe import (MC_WIDTH, _ipe96,
-                                                 _sel_matrices)
+from pano_nerf_tpu.kernels.fused_mlp_ipe import (MC_WIDTH, _att_cos,
+                                                 _ipe96x, _sel_matrices)
 
 _N_W, _N_B = 14, 12
 SIGMA_COL = 3  # packed head column of raw density channel 0
@@ -102,7 +102,7 @@ def _fwd_kernel(mc_ref, v_ref, *refs, L: int, min_deg: int, F: int,
           zip(PACKED_FIELDS[_N_W:_N_W + _N_B], refs[_N_W:_N_W + _N_B])}
 
     mc = mc_ref[:]
-    x, att, y = _ipe96(mc, L, min_deg, F)
+    x, x32, att, y = _ipe96x(mc, L, min_deg, F)
     h7, acts = _trunk_forward(x, ws, bs)
     density = _f32dot(h7, ws["wd"]) + bs["bd"]
     btl = (_f32dot(h7, ws["wb"]) + bs["bb"]).astype(BF16)
@@ -113,7 +113,7 @@ def _fwd_kernel(mc_ref, v_ref, *refs, L: int, min_deg: int, F: int,
 
     g_x, sz, _ = _sigma_grad_chain(x, acts, ws)
     sel_y, _ = _sel_matrices(L, min_deg, F)
-    dy = g_x.astype(F32) * (att * jnp.cos(y))
+    dy = g_x.astype(F32) * _att_cos(x32, L)
     dsig_ref[:] = _dot_nt(dy, sel_y)  # cols 0:3 = d raw_sigma / d means
     if save_residuals:
         # Spill ONLY the trunk activations to HBM for the backward kernel.
@@ -166,9 +166,8 @@ def _bwd_kernel(mc_ref, v_ref, *refs, L: int, min_deg: int, F: int,
     # the two head activations the view-branch backward needs, and the sz
     # gradient chain + g_x from the saved acts (9 dots; see the residual
     # note in _fwd_kernel for why sz is recomputed rather than spilled) ---
-    x, att, y = _ipe96(mc, L, min_deg, F)
-    x_f32 = att * jnp.sin(y)
-    c1 = att * jnp.cos(y)
+    x, x_f32, att, y = _ipe96x(mc, L, min_deg, F)
+    c1 = _att_cos(x_f32, L)
     btl = (_f32dot(h7, ws["wb"]) + bs["bb"]).astype(BF16)
     zv = _f32dot(btl, ws["wva"]) + _f32dot(v, ws["wvb"]) + bs["bv"]
     hv = jnp.maximum(zv, 0.0).astype(BF16)

@@ -46,7 +46,8 @@ from pano_nerf_tpu.kernels.fused_mlp import (BF16, F32, OUT_PAD,
                                              PACKED_FIELDS, _dot_nt,
                                              _f32dot, _interpret,
                                              _trunk_forward, pack_params)
-from pano_nerf_tpu.kernels.fused_mlp_ipe import MC_WIDTH, _ipe96, _sel_matrices
+from pano_nerf_tpu.kernels.fused_mlp_ipe import (MC_WIDTH, _att_cos,
+                                                 _ipe96x, _sel_matrices)
 from pano_nerf_tpu.kernels.fused_mlp_normals import _sigma_grad_chain
 
 _N_W, _N_B = 14, 12
@@ -152,7 +153,7 @@ def _render_kernel(mc_ref, ray_ref, *refs, L: int, min_deg: int,
 
     # ---- MLP forward (shared with v2/v3 kernels) ----
     mc = jnp.where(valid, mc_ref[:], 0.0)
-    x, att, y = _ipe96(mc, L, min_deg, F)
+    x, x32, att, y = _ipe96x(mc, L, min_deg, F)
     h7, acts = _trunk_forward(x, ws, bs)
     density = _f32dot(h7, ws["wd"]) + bs["bd"]
     btl = (_f32dot(h7, ws["wb"]) + bs["bb"]).astype(BF16)
@@ -215,7 +216,7 @@ def _render_kernel(mc_ref, ray_ref, *refs, L: int, min_deg: int,
     if need_normals:
         g_x, _, _ = _sigma_grad_chain(x, acts, ws)
         sel_y, _ = _sel_matrices(L, min_deg, F)
-        dsig = _dot_nt(g_x.astype(F32) * (att * jnp.cos(y)),
+        dsig = _dot_nt(g_x.astype(F32) * _att_cos(x32, L),
                        sel_y)                             # [rows, 8]
         colN = jax.lax.broadcasted_iota(jnp.int32, (rows, MC_WIDTH), 1)
         d3 = jnp.where(colN < 3, dsig, 0.0)

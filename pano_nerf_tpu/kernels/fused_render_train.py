@@ -53,7 +53,8 @@ from pano_nerf_tpu.kernels.fused_mlp import (BF16, F32, OUT_PAD,
                                              _dot_t_accum, _f32dot,
                                              _interpret, _trunk_forward,
                                              pack_params)
-from pano_nerf_tpu.kernels.fused_mlp_ipe import MC_WIDTH, _ipe96, _sel_matrices
+from pano_nerf_tpu.kernels.fused_mlp_ipe import (MC_WIDTH, _att_cos,
+                                                 _ipe96x, _sel_matrices)
 from pano_nerf_tpu.kernels.fused_render import _sdot
 
 
@@ -104,7 +105,7 @@ def _forward_core(mc, vrow, ws, bs, L, min_deg, F, density_bias,
 
     `acts`: pre-loaded trunk activations (the save_acts spill) — skips the
     8-dot trunk recompute entirely."""
-    x, att, y = _ipe96(mc, L, min_deg, F)
+    x, x32, att, y = _ipe96x(mc, L, min_deg, F)
     if acts is None:
         h7, acts = _trunk_forward(x, ws, bs)
     else:
@@ -132,7 +133,8 @@ def _forward_core(mc, vrow, ws, bs, L, min_deg, F, density_bias,
     A = jnp.where(col16 == 3, 1.0, A)
     A = jnp.where(col16 == 8, tmid_col, A)
     comp16 = _sdot(qsel, A * w_row, "b")  # [RPB, 16]
-    return dict(x=x, att=att, y=y, h7=h7, acts=acts, btl=btl, hv=hv,
+    return dict(x=x, x32=x32, att=att, y=y, h7=h7, acts=acts, btl=btl,
+                hv=hv,
                 head=head, dd=dd, dd_ray=dd_ray, tau_ray=tau_ray,
                 w_ray=w_ray, w_row=w_row, rgb_act=rgb_act, comp16=comp16,
                 sig_col=sig_col, delta_col=delta_col, tmid_col=tmid_col)
@@ -313,9 +315,8 @@ def _train_bwd_kernel(mc_ref, ray_ref, venc_ref, *refs, L: int,
 
     # ---- IPE adjoint -> moments, plus the delta/t_mid lanes ----
     sel_y, sel_v = _sel_matrices(L, min_deg, F)
-    att, y = f["att"], f["y"]
-    dy = dx * (att * jnp.cos(y))
-    dvar = -0.5 * dx * (att * jnp.sin(y))
+    dy = dx * _att_cos(f["x32"], L)
+    dvar = -0.5 * dx * f["x32"]
     dmc = _dot_nt(dy, sel_y) + _dot_nt(dvar, sel_v)
     col8 = jax.lax.broadcasted_iota(jnp.int32, (rows, MC_WIDTH), 1)
     dmc = jnp.where(col8 == 6, cot_delta, dmc)
@@ -360,6 +361,11 @@ def _call_fwd(mc, rayinfo, venc, packed, L, min_deg, S, density_bias,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        # The forward needs headroom past the default 16 MB scoped-VMEM
+        # budget at rows_target >= 2048 (measured: 16.25 MB request fails
+        # remote compile without this).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_BWD_VMEM_LIMIT),
         interpret=_interpret(),
     )(mc, rayinfo, venc, *packed)
 

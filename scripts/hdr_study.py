@@ -89,6 +89,13 @@ VARIANTS = {
     "vc01": {"nerf.env_sampling": "fixed", "loss.view_consistency": 0.1},
     "vc03": {"nerf.env_sampling": "fixed", "loss.view_consistency": 0.3},
     "vc1": {"nerf.env_sampling": "fixed", "loss.view_consistency": 1.0},
+    # VC + weakened saturation-knee prior: with the head tied, the
+    # irradiance evidence must out-pull w_sat to lift the emitter ABOVE
+    # the knee — probe whether the 0.01 default is the binding constraint.
+    "vc01s": {"nerf.env_sampling": "fixed", "loss.view_consistency": 0.1,
+              "loss.saturation_loss": 0.003},
+    "vc03s": {"nerf.env_sampling": "fixed", "loss.view_consistency": 0.3,
+              "loss.saturation_loss": 0.003},
 }
 
 
