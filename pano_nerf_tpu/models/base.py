@@ -167,6 +167,15 @@ class BaseNeRF:
     # (ops/mip.py::stratified_env_directions) — unbiased like "rotated" but
     # with per-stratum variance only.
     env_sampling: str = "auto"
+    # Eval-time FLOP cut (first-order calls only; 0 = same as training).
+    # The fine level is the one that carries the metrics, and the coarse
+    # CDF already concentrates its resampled positions where density
+    # lives (/root/reference/models/mip.py:304-352) — so eval can march
+    # fewer coarse samples (CDF quality degrades gracefully) and resample
+    # fewer fine samples at near-identical image quality. Quality deltas
+    # measured per scene (scripts/bench_eval.py --eval_samples).
+    eval_coarse_samples: int = 0
+    eval_fine_samples: int = 0
 
     def _auto_fused_train(self, batch: int):
         """Batch-aware training-kernel policy (NOTES.md crossover): returns
@@ -233,6 +242,8 @@ class BaseNeRF:
                 hparams.get("nerf.use_train_render_kernel", False)),
             train_kernel_save_acts=bool(
                 hparams.get("nerf.train_kernel_save_acts", False)),
+            eval_coarse_samples=int(hparams.get("val.coarse_samples", 0)),
+            eval_fine_samples=int(hparams.get("val.fine_samples", 0)),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -396,16 +407,25 @@ class BaseNeRF:
 
     def _sample_level(self, key: jax.Array, rays, i_level: int,
                       t_samples: Optional[Array], weights: Optional[Array],
-                      randomized: bool) -> Tuple[Array, Tuple[Array, Array]]:
+                      randomized: bool, eval_counts: bool = False
+                      ) -> Tuple[Array, Tuple[Array, Array]]:
+        """`eval_counts=True` (first-order/eval calls) applies the
+        eval_coarse_samples / eval_fine_samples FLOP-cut overrides."""
         if i_level == 0:
+            n = (self.eval_coarse_samples
+                 if eval_counts and self.eval_coarse_samples
+                 else self.num_samples)
             return mip.sample_along_rays(
                 key, rays.origins, rays.directions, rays.radii,
-                self.num_samples, rays.near, rays.far, randomized,
+                n, rays.near, rays.far, randomized,
                 self.disparity)
         return mip.resample_along_rays(
             key, rays.origins, rays.directions, rays.radii, t_samples,
             weights, randomized, self.stop_resample_grad,
-            self.resample_padding)
+            self.resample_padding,
+            num_samples=(self.eval_fine_samples
+                         if eval_counts and self.eval_fine_samples
+                         else None))
 
     # ----- normals -------------------------------------------------------
 

@@ -51,7 +51,7 @@ class MipNeRF(BaseNeRF):
         for i_level in range(self.num_levels):
             t_samples, (means, covs) = self._sample_level(
                 keys[2 * i_level], rays, i_level, t_samples, weights,
-                randomized)
+                randomized, eval_counts=first_order)
             fine_normals = i_level == self.num_levels - 1 and use_ort_loss
 
             def graph(m, fused=first_order or not fine_normals):

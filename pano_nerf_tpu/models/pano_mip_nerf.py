@@ -115,7 +115,7 @@ class PanoMipNeRF(BaseNeRF):
         for i_level in range(self.num_levels):
             t_samples, (means, covs) = self._sample_level(
                 keys[2 * i_level], rays, i_level, t_samples, weights,
-                randomized)
+                randomized, eval_counts=True)
             fine = (i_level == self.num_levels - 1 and self.num_levels >= 2)
             r = level(means, covs, rays.viewdirs, t_samples,
                       rays.directions, white_bkgd, need=fine)
@@ -218,7 +218,7 @@ class PanoMipNeRF(BaseNeRF):
         for i_level in range(self.num_levels):
             t_samples, (means, covs) = self._sample_level(
                 keys[2 * i_level], rays, i_level, t_samples, weights,
-                randomized)
+                randomized, eval_counts=first_order)
             fine_level = (i_level == self.num_levels - 1
                           and self.num_levels >= 2)
             if (not fine_level and use_tk

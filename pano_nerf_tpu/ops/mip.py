@@ -18,7 +18,7 @@ All ops compute in float32; callers downcast at the MLP boundary.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -237,11 +237,16 @@ def sorted_piecewise_constant_pdf(key: jax.Array, bins: Array, weights: Array,
 def resample_along_rays(key: jax.Array, origins: Array, directions: Array,
                         radii: Array, t_samples: Array, weights: Array,
                         randomized: bool, stop_grad: bool,
-                        resample_padding: float
+                        resample_padding: float,
+                        num_samples: Optional[int] = None
                         ) -> Tuple[Array, Tuple[Array, Array]]:
     """Resample frustums proportionally to blurpooled coarse weights.
 
-    Reference: /root/reference/models/mip.py:304-352.
+    Reference: /root/reference/models/mip.py:304-352. `num_samples`
+    overrides the resampled SAMPLE count (default: same as the coarse
+    level — the reference's behavior); fewer samples concentrate where
+    the coarse CDF puts density mass (the eval FLOP-cut knob,
+    BaseNeRF.eval_fine_samples).
     """
     weights_pad = jnp.concatenate(
         [weights[..., :1], weights, weights[..., -1:]], axis=-1)
@@ -250,7 +255,9 @@ def resample_along_rays(key: jax.Array, origins: Array, directions: Array,
     weights_blur = weights_blur + resample_padding
 
     new_t_vals = sorted_piecewise_constant_pdf(
-        key, t_samples, weights_blur, t_samples.shape[-1], randomized)
+        key, t_samples, weights_blur,
+        (num_samples + 1) if num_samples else t_samples.shape[-1],
+        randomized)
     if stop_grad:
         new_t_vals = jax.lax.stop_gradient(new_t_vals)
     means, covs = cast_rays(new_t_vals, origins, directions, radii)

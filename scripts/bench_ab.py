@@ -23,7 +23,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_variant(overrides: dict, batch: int, steps: int, warmup: int = 5):
+def run_variant(overrides: dict, batch: int, steps: int, warmup: int = 5,
+                compiler_options: dict | None = None, scan: int = 1):
     import jax
 
     from __graft_entry__ import _make_rays, _tiny_hparams
@@ -46,8 +47,15 @@ def run_variant(overrides: dict, batch: int, steps: int, warmup: int = 5):
     rgbs = np.abs(rng.standard_normal((n_rays, 3))).astype(np.float32) * 2.0
     dataset = system.put_dataset_on_device(rays, rgbs)
     step_fn = system.make_train_step_device_data(dataset, enable_surf=True,
-                                                 batch_size=batch)
+                                                 batch_size=batch,
+                                                 steps_per_call=scan)
     key = jax.random.PRNGKey(1)
+    if compiler_options:
+        # Per-executable XLA overrides (e.g. xla_tpu_scoped_vmem_limit_kib
+        # controls the fusion-window budget the round-2 batch-scaling cliff
+        # traced to) — forwarded to the backend through AOT lower/compile.
+        step_fn = step_fn.lower(state, key).compile(
+            compiler_options=compiler_options)
     for _ in range(warmup):
         state, parts = step_fn(state, key)
     jax.block_until_ready(state.params)
@@ -56,7 +64,7 @@ def run_variant(overrides: dict, batch: int, steps: int, warmup: int = 5):
         state, parts = step_fn(state, key)
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
-    return batch * steps / dt, float(jax.device_get(parts["loss"]))
+    return batch * steps * scan / dt, float(jax.device_get(parts["loss"]))
 
 
 def parse_overrides(spec: str) -> dict:
@@ -75,13 +83,27 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--scan", type=int, default=1,
+                    help="steps_per_call (lax.scan multi-step)")
+    ap.add_argument("--compiler_opt", action="append", default=[],
+                    help="XLA option KEY=VALUE, repeatable; applied to "
+                         "EVERY variant in this invocation")
     args = ap.parse_args()
+
+    copts = {}
+    for kv in args.compiler_opt:
+        k, v = kv.split("=", 1)
+        copts[k] = v
 
     for r in range(args.repeat):
         for spec in args.variants:
             rps, loss = run_variant(parse_overrides(spec), args.batch,
-                                    args.steps)
-            print(f"[{spec or 'default'}] batch={args.batch} "
+                                    args.steps, compiler_options=copts,
+                                    scan=args.scan)
+            tag = ((spec or "default")
+                   + (f" copts={copts}" if copts else "")
+                   + (f" scan={args.scan}" if args.scan > 1 else ""))
+            print(f"[{tag}] batch={args.batch} "
                   f"rays/s={rps:,.0f} loss={loss:.5f}", flush=True)
 
 

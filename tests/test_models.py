@@ -61,6 +61,63 @@ class TestForward:
         np.testing.assert_array_equal(np.asarray(o1[1].rgb),
                                       np.asarray(o2[1].rgb))
 
+    def test_batch_aware_fused_train_policy(self, pano, envrays):
+        """_auto_fused_train: training calls at batch >= threshold dispatch
+        through the v3 fine-level kernel (same numbers as the explicit
+        fused config); below the threshold the plain path is taken bitwise
+        (VERDICT r2 #8). Threshold shrunk so the test stays small."""
+        import dataclasses
+        import os
+        model, params = pano
+        if os.environ.get("PANO_NERF_TEST_TPU") != "1":
+            os.environ["PANO_NERF_PALLAS_INTERPRET"] = "1"
+        base = dataclasses.replace(model, compute_dtype=jnp.bfloat16,
+                                   fused_batch_threshold=16)
+        kw = dict(randomized=True, white_bkgd=False, enable_surf=True,
+                  use_ort_loss=True)
+        k = jax.random.PRNGKey(4)
+        big = make_rays(16, key=7)
+        auto_out = base(params, k, big, envrays, **kw)
+        explicit = dataclasses.replace(base, use_fused_kernel=True,
+                                       fused_scope="fine")
+        exp_out = explicit(params, k, big, envrays, **kw)
+        np.testing.assert_array_equal(np.asarray(auto_out[-1].rgb),
+                                      np.asarray(exp_out[-1].rgb))
+        small = make_rays(8, key=7)
+        plain = dataclasses.replace(base, fused_batch_threshold=0)
+        np.testing.assert_array_equal(
+            np.asarray(base(params, k, small, envrays, **kw)[-1].rgb),
+            np.asarray(plain(params, k, small, envrays, **kw)[-1].rgb))
+        os.environ.pop("PANO_NERF_PALLAS_INTERPRET", None)
+
+    def test_eval_sample_cut_first_order_only(self, pano, envrays):
+        """eval_coarse/fine_samples apply to first-order (eval) calls only:
+        training calls stay bitwise identical, eval outputs keep per-ray
+        shapes and land near the full-count render (the FLOP-cut knob,
+        VERDICT r2 #4)."""
+        import dataclasses
+        model, params = pano
+        rays = make_rays(6)
+        k = jax.random.PRNGKey(2)
+        cut = dataclasses.replace(model, eval_coarse_samples=4,
+                                  eval_fine_samples=4)
+        kw = dict(randomized=True, white_bkgd=False, enable_surf=True,
+                  use_ort_loss=True)
+        tr_full = model(params, k, rays, envrays, **kw)
+        tr_cut = cut(params, k, rays, envrays, **kw)
+        for a, b in zip(jax.tree.leaves(tr_full), jax.tree.leaves(tr_cut)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        ev = dict(randomized=False, white_bkgd=False, enable_surf=True,
+                  use_ort_loss=False, first_order=True)
+        e_full = model(params, k, rays, envrays, **ev)
+        e_cut = cut(params, k, rays, envrays, **ev)
+        assert e_cut[-1].rgb.shape == e_full[-1].rgb.shape
+        assert np.all(np.isfinite(np.asarray(e_cut[-1].rgb)))
+        # Same trained field, 2x fewer samples: the integrals must agree
+        # loosely (the knob is useless if they do not).
+        np.testing.assert_allclose(np.asarray(e_cut[-1].rgb),
+                                   np.asarray(e_full[-1].rgb), atol=0.2)
+
     def test_outputs_finite(self, pano, envrays):
         model, params = pano
         rays = make_rays(4)
