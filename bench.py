@@ -41,7 +41,11 @@ import numpy as np
 A100_REFERENCE_RAYS_PER_SEC = 23_500.0
 
 BATCH = 512
-STEPS = 120
+# Production dispatch: 8 steps per lax.scan call (train.steps_per_call —
+# amortizes the per-step launch gap; measured +5.7% at batch 512, NOTES.md
+# round-3). 45 calls = 360 optimizer steps timed.
+SCAN = 8
+CALLS = 45
 WARMUP = 5
 
 
@@ -85,7 +89,8 @@ def main():
                      range=(0, 10))
     dataset = system.put_dataset_on_device(ds.rays, ds.images)
     step_fn = system.make_train_step_device_data(dataset, enable_surf=True,
-                                                 batch_size=BATCH)
+                                                 batch_size=BATCH,
+                                                 steps_per_call=SCAN)
     key = jax.random.PRNGKey(1)
 
     for _ in range(WARMUP):
@@ -93,7 +98,7 @@ def main():
     jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
-    for _ in range(STEPS):
+    for _ in range(CALLS):
         state, parts = step_fn(state, key)
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
@@ -101,7 +106,7 @@ def main():
     loss = float(jax.device_get(parts["loss"]))
     assert np.isfinite(loss), f"non-finite loss: {loss}"
 
-    rays_per_sec = BATCH * STEPS / dt
+    rays_per_sec = BATCH * SCAN * CALLS / dt
     print(json.dumps({
         "metric": "panonerf_train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),

@@ -142,6 +142,15 @@ class Trainer:
         device_data = (bool(hp.get("train.device_data", True))
                        and ds_bytes < 4e9)
         batch_iter = None
+        # Multi-step lax.scan (device-resident only): K steps per dispatch
+        # amortizes the per-step launch gap over the device tunnel —
+        # measured +5.7% train throughput at K=8, batch 512 (NOTES.md
+        # round-3). RNG stream and loss parts are identical to K
+        # single-step calls (tests/test_trainer_integration.py); the loop
+        # below falls back to single steps around log/val/profile/surface
+        # boundaries so cadences behave exactly as before.
+        spc = int(hp.get("train.steps_per_call", 8)) if device_data else 1
+        spc = max(1, spc)
         if device_data:
             dataset = system.put_dataset_on_device(ds.rays, ds.images)
             batch = int(hp["train.batch_size"])
@@ -149,8 +158,15 @@ class Trainer:
                 dataset, True, batch) if steps_with_surface else None)
             step_fn_plain = system.make_train_step_device_data(
                 dataset, False, batch)
+            if spc > 1:
+                scan_fn_surf = (system.make_train_step_device_data(
+                    dataset, True, batch, steps_per_call=spc)
+                    if steps_with_surface else None)
+                scan_fn_plain = system.make_train_step_device_data(
+                    dataset, False, batch, steps_per_call=spc)
             print(f"[data] device-resident ({ds_bytes / 1e6:.0f} MB, "
-                  f"{ds.num_rays:,} rays)")
+                  f"{ds.num_rays:,} rays"
+                  + (f", {spc} steps/dispatch" if spc > 1 else "") + ")")
         else:
             batch_iter = ds.iter_batches(hp["train.batch_size"],
                                          seed=hp["seed"])
@@ -167,9 +183,29 @@ class Trainer:
         profile_at = int(hp.get("profile_start_step", 10))
         profile_n = int(hp.get("profile_steps", 5))
 
+        def _group_ok(step: int) -> bool:
+            """True when [step, step+spc) crosses no cadence boundary, the
+            surface flag is constant over it, and no profiler edge falls
+            inside — the K-step scan is then byte-equivalent in observable
+            behavior to K single steps."""
+            if spc <= 1 or step + spc > self.max_steps:
+                return False
+            for cad in (self.log_every, self.val_every):
+                if (step // cad) != ((step + spc - 1) // cad):
+                    return False
+            if steps_with_surface and (
+                    step < self.surface_start_step <= step + spc - 1):
+                return False
+            if profile_dir and (
+                    step <= profile_at < step + spc
+                    or step <= profile_at + profile_n < step + spc):
+                return False
+            return True
+
         t0 = time.perf_counter()
         rays_done = 0
-        for step in range(start_step, self.max_steps):
+        step = start_step
+        while step < self.max_steps:
             if profile_dir and step == profile_at:
                 jax.profiler.start_trace(profile_dir)
             if profile_dir and step == profile_at + profile_n:
@@ -177,15 +213,23 @@ class Trainer:
                 jax.profiler.stop_trace()
                 print(f"[profile] trace written to {profile_dir}")
             surf = steps_with_surface and step >= self.surface_start_step
-            fn = step_fn_surf if surf else step_fn_plain
             if device_data:
+                if _group_ok(step):
+                    fn = scan_fn_surf if surf else scan_fn_plain
+                    k_steps = spc
+                else:
+                    fn = step_fn_surf if surf else step_fn_plain
+                    k_steps = 1
                 state, parts = fn(state, data_key)
             else:
+                fn = step_fn_surf if surf else step_fn_plain
+                k_steps = 1
                 batch = system.shard_batch(next(batch_iter))
                 state, parts = fn(state, batch, data_key)
-            rays_done += hp["train.batch_size"]
+            step += k_steps
+            rays_done += hp["train.batch_size"] * k_steps
 
-            if (step + 1) % self.log_every == 0:
+            if step % self.log_every == 0:
                 parts = jax.device_get(parts)
                 dt = time.perf_counter() - t0
                 rps = rays_done / dt
@@ -195,22 +239,22 @@ class Trainer:
                 # unrecoverable — stop with a checkpoint-preserving message
                 # instead of silently training on garbage.
                 if not np.isfinite(scalars["loss"]):
-                    self._log({"step": step + 1, "kind": "abort",
+                    self._log({"step": step, "kind": "abort",
                                "reason": "non-finite loss", **scalars})
                     raise FloatingPointError(
-                        f"non-finite loss at step {step + 1}: {scalars} — "
+                        f"non-finite loss at step {step}: {scalars} — "
                         f"last good checkpoint: "
                         f"{self.ckpt.latest_step()} in {self.ckpt.directory}")
-                self._log({"step": step + 1, "kind": "train",
+                self._log({"step": step, "kind": "train",
                            "rays_per_sec": rps, **scalars})
-                print(f"[{step + 1}/{self.max_steps}] "
+                print(f"[{step}/{self.max_steps}] "
                       f"loss={scalars['loss']:.5f} rays/s={rps:,.0f}")
                 t0 = time.perf_counter()
                 rays_done = 0
 
-            if (step + 1) % self.val_every == 0 or step + 1 == self.max_steps:
-                self.ckpt.save(step + 1, jax.device_get(state), wait=False)
-                self.validate(state, step=step + 1)
+            if step % self.val_every == 0 or step == self.max_steps:
+                self.ckpt.save(step, jax.device_get(state), wait=False)
+                self.validate(state, step=step)
 
         self.ckpt.save(self.max_steps, jax.device_get(state), wait=True)
         print("[done] training complete")

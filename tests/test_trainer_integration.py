@@ -95,6 +95,27 @@ class TestTrainerLoop:
         val = [r for r in records if r["kind"] == "val"][-1]
         assert np.isfinite(val["psnr_hdr_vol"])
 
+    def test_scan_groups_in_fit_loop(self, scene, tmp_path):
+        """train.steps_per_call engages the lax.scan multi-step dispatch in
+        the fit loop when cadences align, with log records at the same
+        steps as the single-step loop (round-3 throughput path)."""
+        from pano_nerf_tpu.engine.trainer import Trainer
+
+        out = str(tmp_path / "scan")
+        os.makedirs(out, exist_ok=True)
+        hp = small_hparams(scene, out, steps=8)
+        hp["train.steps_per_call"] = 4
+        hp["log_every_n_step"] = 4
+        trainer = Trainer(hp)
+        trainer.fit(sanity_val=False)
+        assert trainer.ckpt.latest_step() == 8
+        with open(os.path.join(out, "metrics.jsonl")) as fp:
+            records = [json.loads(l) for l in fp]
+        train_steps = [r["step"] for r in records if r["kind"] == "train"]
+        assert train_steps == [4, 8]
+        assert all(np.isfinite(r["loss"]) for r in records
+                   if r["kind"] == "train")
+
     def test_surface_gating(self, scene, tmp_path):
         """surface_start_step > 0 trains without the surface loss first."""
         from pano_nerf_tpu.engine.trainer import Trainer
