@@ -176,6 +176,11 @@ class BaseNeRF:
     # measured per scene (scripts/bench_eval.py --eval_samples).
     eval_coarse_samples: int = 0
     eval_fine_samples: int = 0
+    # Samples per secondary (irradiance) env ray at eval. The env subgraph
+    # is ~44% of eval MLP rows (10 dirs x 10 samples per pixel) and feeds
+    # ONLY the surface products (surf_rgb/shading) — the volumetric
+    # metrics are bitwise unaffected by this knob.
+    eval_env_samples: int = 0
 
     def _auto_fused_train(self, batch: int):
         """Batch-aware training-kernel policy (NOTES.md crossover): returns
@@ -244,6 +249,7 @@ class BaseNeRF:
                 hparams.get("nerf.train_kernel_save_acts", False)),
             eval_coarse_samples=int(hparams.get("val.coarse_samples", 0)),
             eval_fine_samples=int(hparams.get("val.fine_samples", 0)),
+            eval_env_samples=int(hparams.get("val.env_samples", 0)),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -426,6 +432,15 @@ class BaseNeRF:
             num_samples=(self.eval_fine_samples
                          if eval_counts and self.eval_fine_samples
                          else None))
+
+    def _env_samples(self, eval_counts: bool) -> int:
+        """Samples per secondary (irradiance) env ray; `eval_counts=True`
+        (first-order/eval calls) applies the eval_env_samples FLOP-cut
+        override. Env rays feed only the surface products, so volumetric
+        eval metrics are bitwise unaffected by the override."""
+        return (self.eval_env_samples
+                if eval_counts and self.eval_env_samples
+                else self.num_env_samples)
 
     # ----- normals -------------------------------------------------------
 

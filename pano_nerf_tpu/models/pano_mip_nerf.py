@@ -134,7 +134,7 @@ class PanoMipNeRF(BaseNeRF):
                                 + rays.directions * r["distance"][..., None])
                 lit_t, (lm, lc), lit_dirs = mip.sample_env_rays(
                     k_env, surf_origins, env_rays.directions,
-                    self.num_env_samples, env_rays.near, env_rays.far,
+                    self._env_samples(True), env_rays.near, env_rays.far,
                     env_rays.radii, randomized)
                 B, D, S2 = lm.shape[:3]
                 re = level(lm.reshape(B * D, S2, 3),
@@ -353,7 +353,7 @@ class PanoMipNeRF(BaseNeRF):
                     lit_t, (lit_means, lit_covs), lit_dirs = (
                         mip.sample_env_rays_hemisphere(
                             k_env, surf_origins, env_dirs,
-                            self.num_env_samples, env_rays.near,
+                            self._env_samples(first_order), env_rays.near,
                             env_rays.far, env_rays.radii, randomized))
                 elif mode in ("rotated", "stratified"):
                     # "rotated": per-ray Haar rotation of the set — each
@@ -374,13 +374,13 @@ class PanoMipNeRF(BaseNeRF):
                     lit_t, (lit_means, lit_covs), lit_dirs = (
                         mip.sample_env_rays_hemisphere(
                             k_env, surf_origins, env_dirs,
-                            self.num_env_samples, env_rays.near,
+                            self._env_samples(first_order), env_rays.near,
                             env_rays.far, env_rays.radii, randomized))
                 else:
                     lit_t, (lit_means, lit_covs), lit_dirs = (
                         mip.sample_env_rays(
                             k_env, surf_origins, env_rays.directions,
-                            self.num_env_samples, env_rays.near,
+                            self._env_samples(first_order), env_rays.near,
                             env_rays.far, env_rays.radii, randomized))
 
                 # Secondary radiance query: [B, D, S, .] — always first-order

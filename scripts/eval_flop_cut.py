@@ -43,7 +43,8 @@ def main():
     ap.add_argument("--config",
                     default=os.path.join(ROOT, "configs", "panonerf.yaml"))
     ap.add_argument("--variants", nargs="+", default=["0,0", "48,48", "32,32"],
-                    help="each 'coarse,fine' eval sample counts (0 = train)")
+                    help="each 'coarse,fine[,env]' eval sample counts "
+                         "(0 = train-time count)")
     ap.add_argument("--chunk", type=int, default=1024)
     ap.add_argument("--env_dirs", type=int, default=10)
     ap.add_argument("--reps", type=int, default=4)
@@ -89,9 +90,12 @@ def main():
 
     results = []
     for spec in args.variants:
-        ec, ef = (int(x) for x in spec.split(","))
+        parts = [int(x) for x in spec.split(",")]
+        ec, ef = parts[0], parts[1]
+        ee = parts[2] if len(parts) > 2 else 0
         system.model = dataclasses.replace(
-            base_model, eval_coarse_samples=ec, eval_fine_samples=ef)
+            base_model, eval_coarse_samples=ec, eval_fine_samples=ef,
+            eval_env_samples=ee)
         render_fn = system.make_render_image(enable_surf=True)
 
         products = val_lib.render_full_pano(
@@ -119,6 +123,7 @@ def main():
         dt = (time.perf_counter() - t0) / args.reps
         row = {
             "variant": spec, "eval_coarse": ec, "eval_fine": ef,
+            "eval_env": ee,
             "rays_per_sec": round(n_rays / dt, 1),
             "ms_per_pano": round(dt * 1e3, 1),
             "psnr_ldr_vol": round(float(m["psnr_ldr_vol"]), 3),

@@ -96,6 +96,14 @@ VARIANTS = {
               "loss.saturation_loss": 0.003},
     "vc03s": {"nerf.env_sampling": "fixed", "loss.view_consistency": 0.3,
               "loss.saturation_loss": 0.003},
+    # Measured vc01s = HDR -0.90 @44k (best in repo; beats refx2's 88k
+    # asymptote in half the steps) with the emitter still below the knee:
+    # probe whether the VC tie alone now supplies the stability the knee
+    # prior was providing, freeing the emitter to rise to the true level.
+    "vc01s1": {"nerf.env_sampling": "fixed", "loss.view_consistency": 0.1,
+               "loss.saturation_loss": 0.001},
+    "vc01s0": {"nerf.env_sampling": "fixed", "loss.view_consistency": 0.1,
+               "loss.saturation_loss": 0.0},
 }
 
 
@@ -142,13 +150,20 @@ def run_variant(name: str, scene: str, out_root: str,
             pred, gt = read_exr(pred_f), read_exr(gt_f)
             mask = gt.max(-1) > EMITTER_THRESHOLD
             if mask.any():
-                pm.append(float(pred[mask].mean()))
-                gm.append(float(gt[mask].mean()))
+                pm.append(pred[mask].mean(0))      # per-channel [3]
+                gm.append(gt[mask].mean(0))
         row = {"step": step}
         if pm:
-            row["emitter_pred"] = round(float(np.mean(pm)), 3)
-            row["emitter_gt"] = round(float(np.mean(gm)), 3)
-            row["emitter_ratio"] = round(float(np.mean(pm) / np.mean(gm)), 3)
+            pmc = np.mean(pm, axis=0)
+            gmc = np.mean(gm, axis=0)
+            row["emitter_pred"] = round(float(pmc.mean()), 3)
+            row["emitter_gt"] = round(float(gmc.mean()), 3)
+            row["emitter_ratio"] = round(float(pmc.mean() / gmc.mean()), 3)
+            # Per-channel values: the beyond-knee criterion is channel
+            # ORDER recovery above the saturation knee (~7.24), which the
+            # mean alone cannot show.
+            row["emitter_pred_rgb"] = [round(float(x), 3) for x in pmc]
+            row["emitter_gt_rgb"] = [round(float(x), 3) for x in gmc]
         if step in psnrs:
             for k in ("psnr_hdr_vol", "psnr_ldr_vol", "ssim_ldr_vol"):
                 if k in psnrs[step]:

@@ -118,6 +118,34 @@ class TestForward:
         np.testing.assert_allclose(np.asarray(e_cut[-1].rgb),
                                    np.asarray(e_full[-1].rgb), atol=0.2)
 
+    def test_eval_env_sample_cut(self, pano, envrays):
+        """eval_env_samples cuts only the secondary (irradiance) subgraph:
+        training calls and ALL volumetric eval products stay bitwise
+        identical; only the surface products (surf_rgb/diffuse/shading)
+        move, and only slightly on a smooth field."""
+        import dataclasses
+        model, params = pano
+        rays = make_rays(6)
+        k = jax.random.PRNGKey(2)
+        cut = dataclasses.replace(model, eval_env_samples=4)
+        kw = dict(randomized=True, white_bkgd=False, enable_surf=True,
+                  use_ort_loss=True)
+        tr_full = model(params, k, rays, envrays, **kw)
+        tr_cut = cut(params, k, rays, envrays, **kw)
+        for a, b in zip(jax.tree.leaves(tr_full), jax.tree.leaves(tr_cut)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        ev = dict(randomized=False, white_bkgd=False, enable_surf=True,
+                  use_ort_loss=False, first_order=True)
+        e_full = model(params, k, rays, envrays, **ev)
+        e_cut = cut(params, k, rays, envrays, **ev)
+        for field in ("rgb", "distance", "acc", "normal", "albedo"):
+            a = getattr(e_full[-1], field)
+            b = getattr(e_cut[-1], field)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(e_cut[-1].surf_rgb),
+                                   np.asarray(e_full[-1].surf_rgb),
+                                   atol=0.2)
+
     def test_outputs_finite(self, pano, envrays):
         model, params = pano
         rays = make_rays(4)
