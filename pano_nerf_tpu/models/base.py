@@ -60,6 +60,12 @@ class BaseNeRF:
     selects the MLP matmul precision (bf16 by default on TPU).
     """
     num_samples: int = 64
+    # Coarse-level sample count override (0 = num_samples, the reference's
+    # symmetric 64/64). The coarse level only guides the fine resampler's
+    # CDF and carries a 0.1-weight loss, so it tolerates a shorter march
+    # than the fine level that carries the metrics — a training FLOP diet
+    # knob (quality validated per scene: scripts/hdr_study.py variants).
+    num_coarse_samples: int = 0
     num_levels: int = 2
     resample_padding: float = 0.01
     stop_resample_grad: bool = True
@@ -233,6 +239,8 @@ class BaseNeRF:
             mlp_skip_index=hparams["nerf.mlp.skip_index"],
             mlp_num_rgb_channels=hparams["nerf.mlp.num_rgb_channels"],
             num_env_samples=hparams["nerf.num_env_samples"],
+            num_coarse_samples=int(
+                hparams.get("nerf.num_coarse_samples", 0)),
             compute_dtype=dtype,
             env_rotation=bool(hparams.get("nerf.env_rotation", False)),
             env_importance=bool(hparams.get("nerf.env_importance", False)),
@@ -420,7 +428,7 @@ class BaseNeRF:
         if i_level == 0:
             n = (self.eval_coarse_samples
                  if eval_counts and self.eval_coarse_samples
-                 else self.num_samples)
+                 else (self.num_coarse_samples or self.num_samples))
             return mip.sample_along_rays(
                 key, rays.origins, rays.directions, rays.radii,
                 n, rays.near, rays.far, randomized,

@@ -104,6 +104,23 @@ VARIANTS = {
                "loss.saturation_loss": 0.001},
     "vc01s0": {"nerf.env_sampling": "fixed", "loss.view_consistency": 0.1,
                "loss.saturation_loss": 0.0},
+    # Training FLOP-diet quality probes (round 3): shorter coarse march
+    # (the coarse level only guides the resampler CDF + a 0.1-weight loss)
+    # and/or fewer samples per secondary env ray. Quality gates the
+    # production adoption of the faster operating point.
+    "vc01s1c32": {"nerf.env_sampling": "fixed",
+                  "loss.view_consistency": 0.1,
+                  "loss.saturation_loss": 0.001,
+                  "nerf.num_coarse_samples": 32},
+    "vc01s1e5": {"nerf.env_sampling": "fixed",
+                 "loss.view_consistency": 0.1,
+                 "loss.saturation_loss": 0.001,
+                 "nerf.num_env_samples": 5},
+    "vc01s1c32e5": {"nerf.env_sampling": "fixed",
+                    "loss.view_consistency": 0.1,
+                    "loss.saturation_loss": 0.001,
+                    "nerf.num_coarse_samples": 32,
+                    "nerf.num_env_samples": 5},
 }
 
 

@@ -146,6 +146,30 @@ class TestForward:
                                    np.asarray(e_full[-1].surf_rgb),
                                    atol=0.2)
 
+    def test_num_coarse_samples_knob(self, pano, envrays):
+        """num_coarse_samples shortens only the coarse march (training FLOP
+        diet): per-ray output shapes are unchanged, outputs stay finite,
+        and 0 reproduces the symmetric default bitwise."""
+        import dataclasses
+        model, params = pano
+        rays = make_rays(5)
+        k = jax.random.PRNGKey(3)
+        kw = dict(randomized=True, white_bkgd=False, enable_surf=True,
+                  use_ort_loss=True)
+        base = model(params, k, rays, envrays, **kw)
+        zero = dataclasses.replace(model, num_coarse_samples=0)
+        for a, b in zip(jax.tree.leaves(base),
+                        jax.tree.leaves(zero(params, k, rays, envrays,
+                                             **kw))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        cut = dataclasses.replace(model, num_coarse_samples=4)
+        out = cut(params, k, rays, envrays, **kw)
+        assert out[-1].rgb.shape == base[-1].rgb.shape
+        for o in out:
+            for v in o:
+                if v is not None:
+                    assert np.isfinite(np.asarray(v)).all()
+
     def test_outputs_finite(self, pano, envrays):
         model, params = pano
         rays = make_rays(4)

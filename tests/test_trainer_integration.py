@@ -116,6 +116,30 @@ class TestTrainerLoop:
         assert all(np.isfinite(r["loss"]) for r in records
                    if r["kind"] == "train")
 
+    def test_scan_groups_respect_surface_boundary(self, scene, tmp_path):
+        """A surface_start_step falling inside a scan group forces the
+        single-step fallback so the surface loss engages at exactly the
+        configured step; log cadence is preserved across the mix of
+        grouped and single dispatches."""
+        from pano_nerf_tpu.engine.trainer import Trainer
+
+        out = str(tmp_path / "scan_surf")
+        os.makedirs(out, exist_ok=True)
+        hp = small_hparams(scene, out, steps=8)
+        hp["train.steps_per_call"] = 4
+        hp["train.surface_start_step"] = 6
+        hp["log_every_n_step"] = 2
+        trainer = Trainer(hp)
+        trainer.fit(sanity_val=False)
+        assert trainer.ckpt.latest_step() == 8
+        with open(os.path.join(out, "metrics.jsonl")) as fp:
+            records = [json.loads(l) for l in fp]
+        train_recs = {r["step"]: r for r in records if r["kind"] == "train"}
+        assert sorted(train_recs) == [2, 4, 6, 8]
+        # Surface loss must be absent before the boundary and present after.
+        assert train_recs[2].get("vol_surface") is None
+        assert np.isfinite(train_recs[8]["vol_surface"])
+
     def test_surface_gating(self, scene, tmp_path):
         """surface_start_step > 0 trains without the surface loss first."""
         from pano_nerf_tpu.engine.trainer import Trainer
