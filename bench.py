@@ -58,17 +58,24 @@ def main():
     from pano_nerf_tpu.engine.system import PanoNeRFSystem
     from pano_nerf_tpu.parallel import mesh as mesh_lib
 
+    # Production model/loss semantics come straight from the shipped
+    # config (configs/panonerf.yaml) so this benchmark always measures
+    # what `train.py` trains — sample counts, estimator mode, and the
+    # loss-extension defaults track production automatically. Only the
+    # data/infra keys are overridden below.
+    from pano_nerf_tpu.core.config import load_config
+
     hp = _tiny_hparams(BATCH)
-    # Full-size production config: 64 samples x 2 levels, 10 env dirs x 10.
-    hp.update({
-        "nerf.num_samples": 64,
-        "nerf.num_env_samples": 10,
-        "nerf.num_ray_samples": 10,
-    })
+    prod = load_config(os.path.join(os.path.dirname(os.path.abspath(
+        __file__)), "configs", "panonerf.yaml"))
+    hp.update({k: v for k, v in prod.items()
+               if k.startswith(("nerf.", "loss.", "optimizer."))})
+    hp["optimizer.max_steps"] = 44000      # LR schedule as in production
 
     mesh = mesh_lib.get_mesh(1)
     system = PanoNeRFSystem(hp, mesh)
-    system.set_env_rays(generate_lit_rays(num=10, far=10.0))
+    system.set_env_rays(generate_lit_rays(
+        num=int(hp["nerf.num_ray_samples"]), far=10.0))
     state = system.create_state(jax.random.PRNGKey(0))
 
     # Real scene geometry resident on device: 3 HDR panoramas of the

@@ -130,8 +130,10 @@ def main():
             "psnr_hdr_vol": round(float(m["psnr_hdr_vol"]), 3),
             "ssim_ldr_vol": round(float(m["ssim_ldr_vol"]), 4),
         }
-        if "psnr_ldr_surf" in m:
-            row["psnr_ldr_surf"] = round(float(m["psnr_ldr_surf"]), 3)
+        if "psnr_hdr_surf" in m:
+            # The env-cut knob touches ONLY the surface products; this is
+            # the metric that moves (volumetric ones are bitwise-pinned).
+            row["psnr_hdr_surf"] = round(float(m["psnr_hdr_surf"]), 3)
         results.append(row)
         print(json.dumps(row), flush=True)
 

@@ -121,6 +121,21 @@ VARIANTS = {
                     "loss.saturation_loss": 0.001,
                     "nerf.num_coarse_samples": 32,
                     "nerf.num_env_samples": 5},
+    # Diet isolation at the beyond-knee recipe (vc 0.1, sat 0): which knob
+    # pays the measured -1.6 dB LDR of the combined diet — the coarse CDF
+    # cut or the env-ray sample cut?
+    "vc01s0c32": {"nerf.env_sampling": "fixed",
+                  "loss.view_consistency": 0.1,
+                  "loss.saturation_loss": 0.0,
+                  "nerf.num_coarse_samples": 32},
+    "vc01s0e5": {"nerf.env_sampling": "fixed",
+                 "loss.view_consistency": 0.1,
+                 "loss.saturation_loss": 0.0,
+                 "nerf.num_env_samples": 5},
+    "vc01s0c48": {"nerf.env_sampling": "fixed",
+                  "loss.view_consistency": 0.1,
+                  "loss.saturation_loss": 0.0,
+                  "nerf.num_coarse_samples": 48},
 }
 
 
