@@ -121,18 +121,28 @@ def main():
     if hit_step is not None and os.path.exists(ref_file):
         with open(ref_file) as fp:
             ref = json.load(fp)
+        step_ratio = None
         if (ref.get("steps_to_target")
                 and ref.get("target_ldr_ws_psnr") == args.target
                 and ref.get("ours_steps_matched")):
             step_ratio = ref["steps_to_target"] / ref["ours_steps_matched"]
+        elif ref.get("step_ratio"):
+            # Curve-derived ratio at the highest threshold both matched
+            # runs crossed (scripts/derive_quality_anchor.py) — the
+            # reduced config cannot reach the headline target itself.
+            step_ratio = float(ref["step_ratio"])
+            result["ratio_threshold_db"] = ref.get("ratio_threshold_db")
+        if step_ratio:
             ref_a100_s = (hit_step * step_ratio
                           * args.batch_size / 23_500.0)
-            result["ref_steps_to_target_reduced"] = ref["steps_to_target"]
-            result["ours_steps_to_target_reduced"] = (
-                ref["ours_steps_matched"])
+            result["step_ratio_matched"] = round(step_ratio, 4)
             result["ref_a100_time_to_target_s"] = round(ref_a100_s, 1)
             if hit_time:
                 result["vs_baseline"] = round(ref_a100_s / hit_time, 3)
+                # Reference-favoring bound: grant the reference our own
+                # step efficiency (measured: it needs step_ratio x more).
+                result["vs_baseline_conservative"] = round(
+                    hit_step * args.batch_size / 23_500.0 / hit_time, 3)
     print(json.dumps(result))
 
 
