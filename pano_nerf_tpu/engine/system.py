@@ -41,10 +41,19 @@ class BaseSystem:
         self.val_randomized = bool(hparams["val.randomized"])
         self.white_bkgd = bool(hparams["train.white_bkgd"])
         self.val_chunk_size = int(hparams["val.chunk_size"])
-        self.tx = optax.adam(mip_lr_decay(
+        adam = optax.adam(mip_lr_decay(
             hparams["optimizer.lr_init"], hparams["optimizer.lr_final"],
             hparams["optimizer.max_steps"], hparams["optimizer.lr_delay_steps"],
             hparams["optimizer.lr_delay_mult"]))
+        # Global-norm gradient clip (beyond the reference, which inherits
+        # Lightning's default of none). A single outlier batch can blow up
+        # the unbounded-above HDR head late in training — measured: the
+        # view-consistency recipe at 88k steps hit NaN at step 54k from one
+        # spike while at its best quality ever (HDR ws-PSNR +2.5 at 52k,
+        # NOTES.md round-3). 0 disables (strict parity).
+        clip = float(hparams.get("optimizer.grad_clip", 0.0))
+        self.tx = (optax.chain(optax.clip_by_global_norm(clip), adam)
+                   if clip > 0 else adam)
         self.mesh = mesh if mesh is not None else mesh_lib.get_mesh(1)
         self.env_rays: Optional[Rays] = None
 
