@@ -25,12 +25,19 @@ Array = jnp.ndarray
 # exactly. configs/panonerf.yaml documents the same defaults for users.
 EXTENSION_DEFAULTS = {
     "loss.distortion_loss": 0.01,
-    "loss.saturation_loss": 0.01,
+    # Round 2's knee prior, superseded by view_consistency in round 3: it
+    # caps recovered sources AT the knee, blocking beyond-knee HDR
+    # recovery (emitter ratio 0.83 capped vs 0.89-0.96 free). Available
+    # (0.001-0.01) for scenes where the view-consistency tie alone is
+    # unstable.
+    "loss.saturation_loss": 0.0,
     "loss.unclipped_pred_tonemap": True,
-    # Round-3 HDR attack: view-consistency of predicted radiance (ties the
-    # view-dependent head so irradiance evidence can push saturated sources
-    # above the knee). 0 = off (see pano_losses).
-    "loss.view_consistency": 0.0,
+    # Round-3 HDR fix: view-consistency of predicted fine radiance across
+    # view directions (log space) ties the view-dependent head so the
+    # irradiance coupling lifts saturated sources ABOVE the tonemap knee:
+    # 44k measured HDR ws-PSNR -1.8 -> +1.5, emitter ratio 0.89 with
+    # per-channel radiance above the knee (NOTES.md round-3 HDR study).
+    "loss.view_consistency": 0.1,
 }
 
 

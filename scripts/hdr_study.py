@@ -43,6 +43,8 @@ EMITTER_THRESHOLD = 4.0
 # S = nerf.num_env_samples (samples per env ray); cost scales with D*S
 # (reference default 10x10).
 VARIANTS = {
+    # The shipped configs/panonerf.yaml exactly as users get it.
+    "prod": {},
     "fixed": {"nerf.env_sampling": "fixed"},
     "rotated": {"nerf.env_sampling": "rotated"},
     "importance": {"nerf.env_sampling": "importance"},
@@ -136,6 +138,11 @@ VARIANTS = {
                   "loss.view_consistency": 0.1,
                   "loss.saturation_loss": 0.0,
                   "nerf.num_coarse_samples": 48},
+    "vc01s0c32e5": {"nerf.env_sampling": "fixed",
+                    "loss.view_consistency": 0.1,
+                    "loss.saturation_loss": 0.0,
+                    "nerf.num_coarse_samples": 32,
+                    "nerf.num_env_samples": 5},
 }
 
 

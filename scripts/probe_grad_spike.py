@@ -25,7 +25,9 @@ sys.path.insert(0, ROOT)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt_dir", required=True)
+    ap.add_argument("--ckpt_dir", default=None,
+                    help="experiment dir with checkpoints/ to resume; "
+                         "omit to probe fresh-init (early-training) norms")
     ap.add_argument("--data_path", required=True)
     ap.add_argument("--steps", type=int, default=2500)
     ap.add_argument("--clip", type=float, default=0.0)
@@ -64,10 +66,11 @@ def main():
     system.set_env_rays(ds.generate_lit_rays(
         num=int(hp["nerf.num_ray_samples"]), near=0.0, far=10.0))
     state = system.create_state(jax.random.PRNGKey(args.seed))
-    state = Checkpointer(
-        os.path.join(args.ckpt_dir, "checkpoints")).restore(state)
+    if args.ckpt_dir:
+        state = Checkpointer(
+            os.path.join(args.ckpt_dir, "checkpoints")).restore(state)
     start = int(jax.device_get(state.step))
-    print(f"# restored step {start}", file=sys.stderr)
+    print(f"# start step {start}", file=sys.stderr)
 
     if args.clip > 0:
         # Chain the clip in front of the restored Adam: the clip transform

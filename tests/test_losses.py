@@ -141,13 +141,42 @@ class TestStabilizerLosses:
                 level(jnp.ones((B, 3)) * 20.0, ort_loss=jnp.asarray(0.0))]
         p_off = pano_losses(outs, gt, jnp.ones((B, 1)), HP,
                             enable_surf=False)  # key-less = parity = off
-        p_on = pano_losses(outs, gt, jnp.ones((B, 1)), HP_PROD,
+        # Production default is 0 (superseded by view_consistency); the
+        # wiring itself is exercised with an explicit weight.
+        hp_sat = dict(HP_PROD, **{"loss.saturation_loss": 0.01})
+        p_on = pano_losses(outs, gt, jnp.ones((B, 1)), hp_sat,
                            enable_surf=False)
         assert "sat" in p_on and float(p_on["sat"]) > 0
         assert float(p_on["loss"]) > float(p_off["loss"])
         # prepare_hparams never overrides explicit values.
-        hp_explicit = prepare_hparams(dict(HP, **{"loss.saturation_loss": 0}))
-        assert hp_explicit["loss.saturation_loss"] == 0
+        hp_explicit = prepare_hparams(
+            dict(HP, **{"loss.saturation_loss": 0.02}))
+        assert hp_explicit["loss.saturation_loss"] == 0.02
+
+    def test_view_consistency_wired(self):
+        """vc (production default 0.1) pulls rgb_alt toward rgb in log
+        space; absent rgb_alt or weight 0 leaves the loss untouched."""
+        B = 4
+        gt = jnp.ones((B, 3))
+        rgb = jnp.full((B, 3), 2.0)
+        outs_alt = [level(rgb),
+                    level(rgb, ort_loss=None,
+                          rgb_alt=jnp.full((B, 3), 6.0))]
+        p = pano_losses(outs_alt, gt, jnp.ones((B, 1)), HP_PROD,
+                        enable_surf=False)
+        assert "vc" in p and float(p["vc"]) > 0
+        # masked_mse sums the 3 channels per ray (mask is [B, 1]).
+        expect_vc = 3 * float(
+            (jnp.log1p(jnp.asarray(6.0)) - jnp.log1p(jnp.asarray(2.0)))
+            ** 2)
+        np.testing.assert_allclose(float(p["vc"]), expect_vc, rtol=1e-6)
+        outs_none = [level(rgb), level(rgb, ort_loss=None)]
+        p0 = pano_losses(outs_none, gt, jnp.ones((B, 1)), HP_PROD,
+                         enable_surf=False)
+        assert "vc" not in p0
+        np.testing.assert_allclose(
+            float(p["loss"]) - float(p0["loss"]), 0.1 * expect_vc,
+            rtol=1e-5)
 
     def test_unclipped_pred_tonemap_restores_gradient(self):
         """Past-knee predictions keep a restoring gradient toward an

@@ -114,16 +114,19 @@ class TestGoldenValues:
         for k, v in parts.items():
             assert np.isfinite(v), (k, v)
         # Composition identity: total equals the weighted sum of components
-        # (incl. the round-2 beyond-reference stabilizers at their default
-        # weights — a deliberate semantic change, see NOTES.md HDR study).
+        # at the production defaults — round-2 stabilizers (distortion +
+        # unclipped pred tonemap) plus the round-3 view-consistency term;
+        # the knee prior is retired to 0 (deliberate semantic changes, see
+        # NOTES.md HDR studies).
         expect = (0.1 * parts["vol_coarse"] + parts["vol_fine"]
                   + 1.0 * parts["vol_surface"] + 0.1 * parts["chrom"]
                   + 0.1 * parts["ort"]
-                  + 0.01 * parts["dist"] + 0.01 * parts["sat"])
+                  + 0.01 * parts["dist"] + 0.1 * parts["vc"])
         np.testing.assert_allclose(parts["loss"], expect, rtol=1e-5)
-        # Every expected component present.
+        # Every expected component present; the retired knee prior absent.
         assert {"loss", "vol_coarse", "vol_fine", "vol_surface", "chrom",
-                "ort", "dist", "sat"} <= set(parts)
+                "ort", "dist", "vc"} <= set(parts)
+        assert "sat" not in parts
 
     def test_volumetric_rendering_snapshot(self):
         from pano_nerf_tpu.ops import mip
