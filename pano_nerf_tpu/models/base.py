@@ -378,14 +378,20 @@ class BaseNeRF:
         return rgb, density
 
     def _raw_outputs_density_grad(self, params, means: Array, covs: Array,
-                                  viewdirs: Array
-                                  ) -> Tuple[Array, Array, Array]:
+                                  viewdirs: Array,
+                                  want_bottleneck: bool = False):
         """Like `_raw_outputs`, plus d(raw_density[..., 0])/d(means).
 
         The gradient is built explicitly from the forward ReLU masks and the
         closed-form IPE Jacobian (models/normals.py) — first-order code that
         replaces the jax.vjp in the training fine level, eliminating all
         second-order autodiff from the train step.
+
+        With `want_bottleneck=True` a 4th element is returned: the trunk's
+        view-independent bottleneck features (for `_view_branch` re-queries,
+        e.g. the view-consistency loss), or None when the fused kernel path
+        handles the level (the kernel does not expose the bottleneck — the
+        caller must fall back to a full `_raw_outputs` re-eval).
         """
         from pano_nerf_tpu.models import normals as normals_lib
         if self.disable_integration:
@@ -400,9 +406,10 @@ class BaseNeRF:
             venc = mip.pos_enc(
                 viewdirs, 0, self.deg_view,
                 self.append_identity)[..., None, :]
-            return fused_mlp_normals_apply(
+            out = fused_mlp_normals_apply(
                 params, means, covs, venc, self.mlp_num_density_channels,
                 self.min_deg_point, self.max_deg_point)
+            return out + (None,) if want_bottleneck else out
         enc_f32 = mip.integrated_pos_enc(means, covs, self.min_deg_point,
                                          self.max_deg_point)
         enc = enc_f32.astype(self.compute_dtype)
@@ -411,11 +418,26 @@ class BaseNeRF:
             venc = mip.pos_enc(
                 viewdirs, 0, self.deg_view,
                 self.append_identity)[..., None, :].astype(self.compute_dtype)
-        raw_rgb, raw_density, g_enc = normals_lib.mlp_with_density_grad(
-            params, enc, venc, self.mlp_skip_index, self.compute_dtype)
+        out = normals_lib.mlp_with_density_grad(
+            params, enc, venc, self.mlp_skip_index, self.compute_dtype,
+            want_bottleneck=want_bottleneck)
+        raw_rgb, raw_density, g_enc = out[:3]
         d_raw_sigma = normals_lib.density_means_grad(
             g_enc, enc_f32, self.min_deg_point, self.max_deg_point)
+        if want_bottleneck:
+            return raw_rgb, raw_density, d_raw_sigma, out[3]
         return raw_rgb, raw_density, d_raw_sigma
+
+    def _view_branch(self, params, bottleneck: Array, viewdirs: Array
+                     ) -> Array:
+        """Raw rgb from saved bottleneck features under a new view direction
+        (PE-encode + condition stack only — no trunk)."""
+        from pano_nerf_tpu.models import normals as normals_lib
+        venc = mip.pos_enc(
+            viewdirs, 0, self.deg_view,
+            self.append_identity)[..., None, :].astype(self.compute_dtype)
+        return normals_lib.view_branch_apply(params, bottleneck, venc,
+                                             self.compute_dtype)
 
     # ----- sampling ------------------------------------------------------
 

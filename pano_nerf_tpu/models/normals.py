@@ -46,8 +46,8 @@ def _scales(min_deg: int, max_deg: int) -> np.ndarray:
 
 
 def mlp_with_density_grad(params, x_enc: Array, v_enc: Optional[Array],
-                          skip_index: int, dtype: Any
-                          ) -> Tuple[Array, Array, Array]:
+                          skip_index: int, dtype: Any,
+                          want_bottleneck: bool = False):
     """NerfMLP forward + explicit d(raw_density[..., 0])/d(x_enc).
 
     Args:
@@ -56,10 +56,15 @@ def mlp_with_density_grad(params, x_enc: Array, v_enc: Optional[Array],
         (broadcastable leading dims) or None.
       skip_index: trunk skip period (NerfMLP.skip_index).
       dtype: compute dtype of the matmuls (NerfMLP.dtype).
+      want_bottleneck: also return the view-independent bottleneck features
+        (compute dtype), so callers can re-query the color head under a
+        different view direction via `view_branch_apply` without paying a
+        second trunk evaluation (the view-consistency loss does this).
     Returns:
       raw_rgb [..., 3] f32, raw_density [..., C] f32 — identical to
       NerfMLP.__call__ — and g_enc [..., F] f32, the gradient of the raw
-      density channel 0 w.r.t. x_enc.
+      density channel 0 w.r.t. x_enc. With `want_bottleneck`, a 4th element:
+      bottleneck [..., W] (compute dtype) or None when v_enc is None.
     """
     p = params["params"]
     trunk = [p[k] for k in sorted(p) if k.startswith("trunk_")]
@@ -90,6 +95,7 @@ def mlp_with_density_grad(params, x_enc: Array, v_enc: Optional[Array],
 
     raw_density = dense(trunk_out, p["density"])
 
+    bottleneck = None
     if v_enc is not None:
         bottleneck = dense(trunk_out, p["bottleneck"])
         v = jnp.broadcast_to(v_enc.astype(dtype),
@@ -117,8 +123,40 @@ def mlp_with_density_grad(params, x_enc: Array, v_enc: Optional[Array],
         mask = (acts[i] > 0).astype(dtype)
         g_h = (g_a * mask) @ trunk[i]["kernel"].T.astype(dtype)
     g_enc = g_enc + g_h  # layer 0's input is the encoding itself
+    if want_bottleneck:
+        return (raw_rgb.astype(F32), raw_density.astype(F32),
+                g_enc.astype(F32), bottleneck)
     return (raw_rgb.astype(F32), raw_density.astype(F32),
             g_enc.astype(F32))
+
+
+def view_branch_apply(params, bottleneck: Array, v_enc: Array,
+                      dtype: Any) -> Array:
+    """Re-run ONLY the view-conditioned color branch on saved bottleneck
+    features: concat(bottleneck, v_enc) -> view layers -> color head.
+
+    Matches the tail of NerfMLP.__call__ (models/mlp.py:64-72) exactly, so
+    for the same bottleneck and view encoding the result is identical to a
+    full forward — but costs only the 1x128 condition stack instead of the
+    8x256 trunk. Used by the view-consistency loss to query the radiance
+    head under an alternate direction at near-zero cost (the full re-eval
+    it replaces measured ~18% of the train step: XLA cannot CSE the
+    mlp.apply trunk against the explicit-normals trunk).
+    """
+    p = params["params"]
+    view = [p[k] for k in sorted(p) if k.startswith("view_")]
+
+    def dense(h, layer):
+        return (h @ layer["kernel"].astype(dtype)
+                + layer["bias"].astype(dtype))
+
+    bottleneck = bottleneck.astype(dtype)
+    v = jnp.broadcast_to(v_enc.astype(dtype),
+                         bottleneck.shape[:-1] + v_enc.shape[-1:])
+    hv = jnp.concatenate([bottleneck, v], axis=-1)
+    for layer in view:
+        hv = jax.nn.relu(dense(hv, layer))
+    return dense(hv, p["color"]).astype(F32)
 
 
 def density_means_grad(g_enc: Array, x_enc: Array, min_deg: int,

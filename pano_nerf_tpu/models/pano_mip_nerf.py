@@ -251,12 +251,19 @@ class PanoMipNeRF(BaseNeRF):
             # (`first_order`), where vjp_fn would execute a backward per
             # chunk just to read the gradient.
             explicit = fine and self.normals_impl == "explicit"
+            bottleneck = None
             if explicit:
                 # Forward + explicit density gradient in one pass: the whole
-                # training step stays first-order (models/normals.py).
-                raw_rgb, raw_density, d_raw_sigma = (
-                    self._raw_outputs_density_grad(
-                        params, means, covs, rays.viewdirs))
+                # training step stays first-order (models/normals.py). The
+                # view-consistency query re-uses the trunk's bottleneck
+                # features (below) so it costs only the condition stack.
+                want_bn = use_vc_loss and randomized and self.use_viewdirs
+                out_dg = self._raw_outputs_density_grad(
+                    params, means, covs, rays.viewdirs,
+                    want_bottleneck=want_bn)
+                raw_rgb, raw_density, d_raw_sigma = out_dg[:3]
+                if want_bn:
+                    bottleneck = out_dg[3]
                 raw_sigma, albedos, roughnesses = self._split_heads(
                     raw_density)
                 raw_sigma = self._density_noise(
@@ -316,8 +323,18 @@ class PanoMipNeRF(BaseNeRF):
                 d_alt = jax.random.normal(k_vc, rays.viewdirs.shape)
                 d_alt = d_alt / jnp.maximum(
                     jnp.linalg.norm(d_alt, axis=-1, keepdims=True), 1e-12)
-                raw_rgb_alt, _ = self._raw_outputs(
-                    params, means, covs, d_alt, fused=True)
+                if bottleneck is not None:
+                    # Condition-stack-only re-query on the saved bottleneck:
+                    # identical values AND gradients to a full re-eval (the
+                    # trunk is the same function of means/covs; gradient
+                    # contributions sum by linearity), minus the second
+                    # 8x256 trunk XLA could not CSE (measured ~18% of the
+                    # train step — NOTES.md round-3).
+                    raw_rgb_alt = self._view_branch(params, bottleneck,
+                                                    d_alt)
+                else:
+                    raw_rgb_alt, _ = self._raw_outputs(
+                        params, means, covs, d_alt, fused=True)
                 rgb_alt_s = (jax.nn.softplus(raw_rgb_alt)
                              * (1.0 + 2.0 * self.rgb_padding)
                              - self.rgb_padding)

@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_variant(overrides: dict, batch: int, steps: int, warmup: int = 5,
-                compiler_options: dict | None = None, scan: int = 1):
+                compiler_options: dict | None = None, scan: int = 1,
+                hparams: dict | None = None):
     import jax
 
     from __graft_entry__ import _make_rays, _tiny_hparams
@@ -35,6 +36,12 @@ def run_variant(overrides: dict, batch: int, steps: int, warmup: int = 5,
     hp = _tiny_hparams(batch)
     hp.update({"nerf.num_samples": 64, "nerf.num_env_samples": 10,
                "nerf.num_ray_samples": 10})
+    if hparams:
+        hp.update(hparams)
+    # Dot-keys in the variant spec are hparam overrides (loss.*, nerf.*);
+    # bare names are BaseNeRF dataclass fields.
+    hp.update({k: v for k, v in overrides.items() if "." in k})
+    overrides = {k: v for k, v in overrides.items() if "." not in k}
     system = PanoNeRFSystem(hp, mesh_lib.get_mesh(1))
     if overrides:
         system.model = dataclasses.replace(system.model, **overrides)
@@ -88,7 +95,18 @@ def main():
     ap.add_argument("--compiler_opt", action="append", default=[],
                     help="XLA option KEY=VALUE, repeatable; applied to "
                          "EVERY variant in this invocation")
+    ap.add_argument("--hparam", action="append", default=[],
+                    help="dot-key hparam override KEY=VALUE (literal_eval'd), "
+                         "repeatable; applied to EVERY variant")
     args = ap.parse_args()
+
+    hps = {}
+    for kv in args.hparam:
+        k, v = kv.split("=", 1)
+        try:
+            hps[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            hps[k] = v
 
     copts = {}
     for kv in args.compiler_opt:
@@ -99,9 +117,10 @@ def main():
         for spec in args.variants:
             rps, loss = run_variant(parse_overrides(spec), args.batch,
                                     args.steps, compiler_options=copts,
-                                    scan=args.scan)
+                                    scan=args.scan, hparams=hps)
             tag = ((spec or "default")
                    + (f" copts={copts}" if copts else "")
+                   + (f" hps={hps}" if hps else "")
                    + (f" scan={args.scan}" if args.scan > 1 else ""))
             print(f"[{tag}] batch={args.batch} "
                   f"rays/s={rps:,.0f} loss={loss:.5f}", flush=True)

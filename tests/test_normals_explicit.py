@@ -16,7 +16,8 @@ import pytest
 from pano_nerf_tpu.models.mip_nerf import MipNeRF
 from pano_nerf_tpu.models.mlp import NerfMLP
 from pano_nerf_tpu.models.normals import (density_means_grad,
-                                          mlp_with_density_grad)
+                                          mlp_with_density_grad,
+                                          view_branch_apply)
 from pano_nerf_tpu.models.pano_mip_nerf import PanoMipNeRF
 from pano_nerf_tpu.ops import mip
 
@@ -76,6 +77,20 @@ class TestMLPLevel:
             lambda xe: jnp.sum(mlp.apply(params, xe, v)[1][..., 0]))(x)
         np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_enc),
                                    rtol=1e-5, atol=1e-6)
+
+    def test_view_branch_matches_full_forward(self, mlp_setup):
+        """Re-querying the color head on saved bottleneck features under a
+        NEW view direction is exactly a full forward with that direction
+        (the bottleneck is view-independent)."""
+        mlp, params, x, v = mlp_setup
+        v2 = jax.random.normal(jax.random.PRNGKey(9), (4, 1, 27))
+        rgb_full, _ = mlp.apply(params, x, v2)
+        out = mlp_with_density_grad(params, x, v, 4, jnp.float32,
+                                    want_bottleneck=True)
+        assert len(out) == 4
+        rgb_branch = view_branch_apply(params, out[3], v2, jnp.float32)
+        np.testing.assert_array_equal(np.asarray(rgb_full),
+                                      np.asarray(rgb_branch))
 
     def test_ipe_chain_matches_autodiff(self, mlp_setup):
         mlp, params, _, v = mlp_setup
@@ -153,6 +168,34 @@ class TestModelLevel:
         flat_e, _ = ravel_pytree(g_e)
         flat_v, _ = ravel_pytree(g_v)
         np.testing.assert_allclose(np.asarray(flat_e), np.asarray(flat_v),
+                                   rtol=1e-3, atol=2e-5)
+
+    def test_vc_bottleneck_reuse_matches_full_reeval(self, setup):
+        """The view-consistency alt-view rgb via the bottleneck re-query
+        (explicit path) equals the full-trunk re-eval (vjp fallback path) —
+        values and parameter gradients (gradient contributions through a
+        shared vs duplicated trunk sum identically by linearity)."""
+        m_exp, m_vjp, params, rays, env = setup
+        key = jax.random.PRNGKey(7)
+        kw = dict(randomized=True, white_bkgd=False, enable_surf=True,
+                  use_ort_loss=False, use_vc_loss=True)
+        f_e = m_exp(params, key, rays, env, **kw)[-1]
+        f_v = m_vjp(params, key, rays, env, **kw)[-1]
+        assert f_e.rgb_alt is not None and f_v.rgb_alt is not None
+        np.testing.assert_allclose(np.asarray(f_e.rgb_alt),
+                                   np.asarray(f_v.rgb_alt),
+                                   rtol=2e-5, atol=1e-5)
+
+        def vc_loss(p, model):
+            f = model(p, key, rays, env, **kw)[-1]
+            a = jnp.log1p(jnp.maximum(f.rgb, 0.0))
+            b = jnp.log1p(jnp.maximum(f.rgb_alt, 0.0))
+            return jnp.mean((a - b) ** 2) + jnp.mean(f.rgb ** 2)
+
+        from jax.flatten_util import ravel_pytree
+        g_e, _ = ravel_pytree(jax.grad(lambda p: vc_loss(p, m_exp))(params))
+        g_v, _ = ravel_pytree(jax.grad(lambda p: vc_loss(p, m_vjp))(params))
+        np.testing.assert_allclose(np.asarray(g_e), np.asarray(g_v),
                                    rtol=1e-3, atol=2e-5)
 
     def test_mipnerf_model_match(self):
