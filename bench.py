@@ -71,6 +71,7 @@ def main():
     hp.update({k: v for k, v in prod.items()
                if k.startswith(("nerf.", "loss.", "optimizer."))})
     hp["optimizer.max_steps"] = 44000      # LR schedule as in production
+    hp["train.scoped_vmem_kib"] = prod.get("train.scoped_vmem_kib", 0)
 
     mesh = mesh_lib.get_mesh(1)
     system = PanoNeRFSystem(hp, mesh)

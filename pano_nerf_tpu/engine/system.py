@@ -28,6 +28,29 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+def clip_by_global_norm(max_norm: float) -> optax.GradientTransformation:
+    """Global-norm clip with one scalar and one multiply per leaf.
+
+    optax.clip_by_global_norm evaluates BOTH select branches per leaf
+    (divide + multiply + select = 3 elementwise passes over the gradient
+    tree every step) — measured 3.4% of the train step on v5e. This
+    computes `scale = max_norm / maximum(g_norm, max_norm)` once; scale is
+    EXACTLY 1.0f when the norm is under the bound, so the healthy-step
+    update is bit-identical to no clipping, and the clipped-step update
+    matches optax up to multiplication-order rounding.
+    """
+
+    def update_fn(updates, state, params=None):
+        del params
+        g_norm = optax.global_norm(updates)
+        scale = max_norm / jnp.maximum(g_norm, max_norm)
+        return jax.tree.map(
+            lambda t: t * scale.astype(t.dtype), updates), state
+
+    return optax.GradientTransformation(
+        lambda params: optax.EmptyState(), update_fn)
+
+
 class BaseSystem:
     def __init__(self, hparams: Dict, mesh=None):
         # Fill the beyond-reference loss defaults here (single source:
@@ -52,10 +75,36 @@ class BaseSystem:
         # spike while at its best quality ever (HDR ws-PSNR +2.5 at 52k,
         # NOTES.md round-3). 0 disables (strict parity).
         clip = float(hparams.get("optimizer.grad_clip", 0.0))
-        self.tx = (optax.chain(optax.clip_by_global_norm(clip), adam)
+        self.tx = (optax.chain(clip_by_global_norm(clip), adam)
                    if clip > 0 else adam)
         self.mesh = mesh if mesh is not None else mesh_lib.get_mesh(1)
         self.env_rays: Optional[Rays] = None
+        # Per-executable XLA override for the TRAIN step only: the step is
+        # fusion-window-bound at batch 512 (NOTES.md round-3 FLOP diet), and
+        # raising the scoped-VMEM budget from the ~16 MB default widens
+        # XLA's fusion windows — measured sweep on v5e (production step,
+        # scan 8): 24 MB = best (+5.5% rays/s), 32 MB +2.7%, >=48 MB
+        # regresses (starves double-buffering). 0 = compiler default.
+        self.scoped_vmem_kib = int(
+            float(hparams.get("train.scoped_vmem_kib", 0)))
+
+    def _jit_train(self, fn):
+        """jit with donation; applies `train.scoped_vmem_kib` via AOT
+        lower/compile on the first call (TPU backends only — the flag does
+        not exist in CPU XLA builds, and tests run on CPU)."""
+        jitted = jax.jit(fn, donate_argnums=(0,))
+        if self.scoped_vmem_kib <= 0 or jax.default_backend() == "cpu":
+            return jitted
+        opts = {"xla_tpu_scoped_vmem_limit_kib": str(self.scoped_vmem_kib)}
+        cache = {}
+
+        def wrapper(*args):
+            if "exe" not in cache:
+                cache["exe"] = jitted.lower(*args).compile(
+                    compiler_options=opts)
+            return cache["exe"](*args)
+
+        return wrapper
 
     # ----- state ---------------------------------------------------------
 
@@ -141,7 +190,7 @@ class PanoNeRFSystem(BaseSystem):
                 loss_fn, has_aux=True)(state.params)
             return self._apply_updates(state, grads), parts
 
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return self._jit_train(step_fn)
 
     def make_train_step_device_data(self, dataset, enable_surf: bool,
                                     batch_size: int,
@@ -199,7 +248,7 @@ class PanoNeRFSystem(BaseSystem):
             return self._apply_updates(state, grads), parts
 
         if steps_per_call == 1:
-            return jax.jit(one_step, donate_argnums=(0,))
+            return self._jit_train(one_step)
 
         def multi_step(state: TrainState, key: jax.Array):
             def body(st, _):
@@ -208,7 +257,7 @@ class PanoNeRFSystem(BaseSystem):
                                         length=steps_per_call)
             return state, jax.tree.map(lambda x: x[-1], parts)
 
-        return jax.jit(multi_step, donate_argnums=(0,))
+        return self._jit_train(multi_step)
 
     def put_dataset_on_device(self, rays, images):
         """Upload the flattened training set once, replicated over the mesh."""
@@ -272,7 +321,7 @@ class MipNeRFSystem(BaseSystem):
                 loss_fn, has_aux=True)(state.params)
             return self._apply_updates(state, grads), parts
 
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return self._jit_train(step_fn)
 
     def make_train_step_device_data(self, dataset, enable_surf: bool,
                                     batch_size: int,
@@ -306,7 +355,7 @@ class MipNeRFSystem(BaseSystem):
             return self._apply_updates(state, grads), parts
 
         if steps_per_call == 1:
-            return jax.jit(one_step, donate_argnums=(0,))
+            return self._jit_train(one_step)
 
         def multi_step(state: TrainState, key: jax.Array):
             def body(st, _):
@@ -315,7 +364,7 @@ class MipNeRFSystem(BaseSystem):
                                         length=steps_per_call)
             return state, jax.tree.map(lambda x: x[-1], parts)
 
-        return jax.jit(multi_step, donate_argnums=(0,))
+        return self._jit_train(multi_step)
 
     put_dataset_on_device = PanoNeRFSystem.put_dataset_on_device
 

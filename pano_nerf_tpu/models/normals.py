@@ -60,6 +60,10 @@ def mlp_with_density_grad(params, x_enc: Array, v_enc: Optional[Array],
         (compute dtype), so callers can re-query the color head under a
         different view direction via `view_branch_apply` without paying a
         second trunk evaluation (the view-consistency loss does this).
+        (Stacking BOTH directions through one 2M-row condition matmul was
+        also tried and measured WORSE — 111.9k vs 117.1k rays/s on v5e:
+        the stacked [2,B,S,283] tensor materializes and breaks the fusion
+        windows the separate small branch fuses into.)
     Returns:
       raw_rgb [..., 3] f32, raw_density [..., C] f32 — identical to
       NerfMLP.__call__ — and g_enc [..., F] f32, the gradient of the raw

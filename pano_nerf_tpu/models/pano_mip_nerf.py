@@ -328,8 +328,11 @@ class PanoMipNeRF(BaseNeRF):
                     # identical values AND gradients to a full re-eval (the
                     # trunk is the same function of means/covs; gradient
                     # contributions sum by linearity), minus the second
-                    # 8x256 trunk XLA could not CSE (measured ~18% of the
-                    # train step — NOTES.md round-3).
+                    # 8x256 trunk XLA could not CSE (measured ~15% of the
+                    # train step — NOTES.md round-3). Stacking both dirs
+                    # through ONE 2M-row condition matmul measured WORSE
+                    # (111.9k vs 117.1k rays/s): the stacked tensor
+                    # materializes and breaks fusion windows.
                     raw_rgb_alt = self._view_branch(params, bottleneck,
                                                     d_alt)
                 else:

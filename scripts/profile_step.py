@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--scan", type=int, default=1,
+                    help="steps_per_call (lax.scan multi-step)")
     args = ap.parse_args()
 
     import dataclasses
@@ -37,8 +39,11 @@ def main():
     hp = _tiny_hparams(args.batch)
     hp.update({"nerf.num_samples": 64, "nerf.num_env_samples": 10,
                "nerf.num_ray_samples": 10})
-    system = PanoNeRFSystem(hp, mesh_lib.get_mesh(1))
     ov = parse_overrides(args.variant)
+    # Dot-keys are hparam overrides (same convention as bench_ab.py).
+    hp.update({k: v for k, v in ov.items() if "." in k})
+    ov = {k: v for k, v in ov.items() if "." not in k}
+    system = PanoNeRFSystem(hp, mesh_lib.get_mesh(1))
     if ov:
         system.model = dataclasses.replace(system.model, **ov)
     system.set_env_rays(generate_lit_rays(num=10, far=10.0))
@@ -49,7 +54,8 @@ def main():
     rgbs = np.abs(rng.standard_normal((n_rays, 3))).astype(np.float32) * 2.0
     dataset = system.put_dataset_on_device(rays, rgbs)
     step_fn = system.make_train_step_device_data(dataset, enable_surf=True,
-                                                 batch_size=args.batch)
+                                                 batch_size=args.batch,
+                                                 steps_per_call=args.scan)
     key = jax.random.PRNGKey(1)
     for _ in range(5):
         state, parts = step_fn(state, key)
@@ -62,8 +68,9 @@ def main():
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
     jax.profiler.stop_trace()
-    print(f"captured {args.steps} steps in {dt:.3f}s "
-          f"({args.batch * args.steps / dt:,.0f} rays/s) -> {args.out}")
+    print(f"captured {args.steps} calls x {args.scan} steps in {dt:.3f}s "
+          f"({args.batch * args.steps * args.scan / dt:,.0f} rays/s) "
+          f"-> {args.out}")
 
 
 if __name__ == "__main__":

@@ -52,6 +52,32 @@ class TestGradClip:
         assert np.isfinite(d_on) and np.isfinite(d_off)
         assert d_on != d_off  # the clip engaged and altered the update
 
+    def test_lean_clip_matches_optax(self):
+        """Our single-multiply clip (engine/system.py) vs
+        optax.clip_by_global_norm: bit-identical pass-through under the
+        bound, allclose scaling above it."""
+        import optax
+
+        from pano_nerf_tpu.engine.system import clip_by_global_norm
+
+        grads = {"a": jnp.array([0.3, -0.4]), "b": jnp.array([[1.2, 0.1]])}
+        for max_norm in (4.0, 0.5):
+            ours = clip_by_global_norm(max_norm)
+            ref = optax.clip_by_global_norm(max_norm)
+            u_ours, _ = ours.update(grads, ours.init(grads))
+            u_ref, _ = ref.update(grads, ref.init(grads))
+            for k in grads:
+                np.testing.assert_allclose(np.asarray(u_ours[k]),
+                                           np.asarray(u_ref[k]),
+                                           rtol=1e-6, atol=0,
+                                           err_msg=f"{k} max_norm={max_norm}")
+        # Under the bound the scale is exactly 1.0f: bitwise pass-through.
+        ours = clip_by_global_norm(100.0)
+        u, _ = ours.update(grads, ours.init(grads))
+        for k in grads:
+            np.testing.assert_array_equal(np.asarray(u[k]),
+                                          np.asarray(grads[k]))
+
     def test_zero_is_strict_parity(self):
         import optax
 
