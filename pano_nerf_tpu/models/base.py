@@ -451,6 +451,10 @@ class BaseNeRF:
             n = (self.eval_coarse_samples
                  if eval_counts and self.eval_coarse_samples
                  else (self.num_coarse_samples or self.num_samples))
+            # The coarse override is a CUT: never march more coarse samples
+            # than the fine level (configs that shrink num_samples for
+            # tests/benches keep working with the production yaml default).
+            n = min(n, self.num_samples)
             return mip.sample_along_rays(
                 key, rays.origins, rays.directions, rays.radii,
                 n, rays.near, rays.far, randomized,

@@ -37,9 +37,17 @@ def main():
     from scripts.render_path import pano_rays_for_pose
     import jax.numpy as jnp
 
+    # Production model semantics come from the shipped config, exactly as
+    # bench.py does for training — sample counts / estimator mode / eval
+    # FLOP-cut knobs track what `train.py` validation actually renders.
+    from pano_nerf_tpu.core.config import load_config
+
     hp = _tiny_hparams(512)
-    hp.update({"nerf.num_samples": 64, "nerf.num_env_samples": 10,
-               "nerf.num_ray_samples": 10})
+    prod = load_config(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "panonerf.yaml"))
+    hp.update({k: v for k, v in prod.items()
+               if k.startswith(("nerf.", "val."))})
 
     n_rays = args.height * args.width
     results = {}
@@ -52,7 +60,8 @@ def main():
             from scripts.bench_ab import parse_overrides
             system.model = dataclasses.replace(
                 system.model, **parse_overrides(args.variant))
-        system.set_env_rays(generate_lit_rays(num=10, far=10.0))
+        system.set_env_rays(generate_lit_rays(
+            num=int(hp["nerf.num_ray_samples"]), far=10.0))
         state = system.create_state(jax.random.PRNGKey(0))
         render = system.make_render_image(enable_surf=True)
 

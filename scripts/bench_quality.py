@@ -26,7 +26,10 @@ def main():
     ap.add_argument("--target", type=float, default=25.0,
                     help="LDR ws-PSNR target (dB)")
     ap.add_argument("--max_steps", type=int, default=20000)
-    ap.add_argument("--batch_size", type=int, default=1024)
+    ap.add_argument("--batch_size", type=int, default=512,
+                    help="production train.batch_size (512, the per-chip "
+                         "throughput sweet spot; 1024 reaches 25 dB in "
+                         "fewer steps but more seconds)")
     ap.add_argument("--height", type=int, default=128)
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--val_every", type=int, default=1000)
@@ -76,26 +79,34 @@ def main():
     trainer = Trainer(hp)
     system = trainer.system
     state = system.create_state(jax.random.PRNGKey(hp["seed"]))
-    batch_iter = trainer.train_dataset.iter_batches(args.batch_size,
-                                                    seed=hp["seed"])
-    step_fn = system.make_train_step(enable_surf=True)
+    # Production data path: device-resident dataset + multi-step lax.scan
+    # dispatch, exactly what trainer.fit runs (the old host-fed
+    # make_train_step loop measured the 1-core host pipeline, not the
+    # TPU: 21.6k vs ~100k+ rays/s).
+    ds = trainer.train_dataset
+    dataset = system.put_dataset_on_device(ds.rays, ds.images)
+    spc = int(hp.get("train.steps_per_call", 8))
+    step_fn = system.make_train_step_device_data(
+        dataset, enable_surf=True, batch_size=args.batch_size,
+        steps_per_call=spc)
     key = jax.random.PRNGKey(1)
 
     t0 = time.perf_counter()
     compile_done = None
     hit_step, hit_time = None, None
     psnr_curve = []
-    for step in range(args.max_steps):
-        batch = system.shard_batch(next(batch_iter))
-        state, parts = step_fn(state, batch, key)
-        if step == 0:
+    for call in range(args.max_steps // spc):
+        state, parts = step_fn(state, key)
+        step = (call + 1) * spc
+        if call == 0:
             jax.block_until_ready(state.params)
             compile_done = time.perf_counter() - t0
-        if (step + 1) % args.val_every == 0:
-            m = trainer.validate(state, step + 1, max_images=1)
-            psnr_curve.append((step + 1, m["psnr_ldr_vol"]))
+        # Validate at the first call boundary at/after each val_every mark.
+        if step % args.val_every < spc:
+            m = trainer.validate(state, step, max_images=1)
+            psnr_curve.append((step, m["psnr_ldr_vol"]))
             if hit_step is None and m["psnr_ldr_vol"] >= args.target:
-                hit_step = step + 1
+                hit_step = step
                 hit_time = time.perf_counter() - t0 - compile_done
                 break
 

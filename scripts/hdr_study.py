@@ -138,6 +138,12 @@ VARIANTS = {
                   "loss.view_consistency": 0.1,
                   "loss.saturation_loss": 0.0,
                   "nerf.num_coarse_samples": 48},
+    # Gentler coarse cut (the round-3 production-default candidate: +5%
+    # rays/s; c48's +27% measurably pins the emitter back AT the knee).
+    "vc01s0c56": {"nerf.env_sampling": "fixed",
+                  "loss.view_consistency": 0.1,
+                  "loss.saturation_loss": 0.0,
+                  "nerf.num_coarse_samples": 56},
     "vc01s0c32e5": {"nerf.env_sampling": "fixed",
                     "loss.view_consistency": 0.1,
                     "loss.saturation_loss": 0.0,
