@@ -37,7 +37,11 @@ class Trainer:
         self.hparams = hparams
         self.max_steps = int(hparams["optimizer.max_steps"])
         self.log_every = int(hparams.get("log_every_n_step", 100))
-        self.val_every = int(hparams["val.check_every_n_epoch"]) * 1000
+        # Fractional epochs are an extension (reference: int only) — e.g.
+        # 0.002 validates/checkpoints every 2 steps, used by the failure-
+        # recovery tests.
+        self.val_every = max(1, int(
+            float(hparams["val.check_every_n_epoch"]) * 1000))
         self.save_dir = hparams["save_dir"]
         self.surface_start_step = int(hparams.get("train.surface_start_step", 0))
         self.use_surface = bool(hparams.get("train.surface", True))
@@ -202,6 +206,18 @@ class Trainer:
                 return False
             return True
 
+        # Failure recovery (train.nan_recovery, default 2): on a non-finite
+        # loss, restore the last checkpoint and continue with a PERTURBED
+        # batch stream instead of aborting. The round-3 spike study
+        # (NOTES.md) showed these are knife-edge numeric events — a
+        # deterministic replay through a different executable does not
+        # reproduce them — so re-rolling the sample sequence from the last
+        # good state converts a dead 12-hour run into a logged hiccup.
+        # After the retry budget the abort (with checkpoint pointer)
+        # behaves exactly as before. 0 disables.
+        nan_retries_left = int(hp.get("train.nan_recovery", 2))
+        nan_retry = 0
+
         t0 = time.perf_counter()
         rays_done = 0
         step = start_step
@@ -235,10 +251,29 @@ class Trainer:
                 rps = rays_done / dt
                 scalars = {k: float(v) for k, v in parts.items()
                            if v is not None}
-                # Failure detection: a non-finite loss means the run is
-                # unrecoverable — stop with a checkpoint-preserving message
-                # instead of silently training on garbage.
+                # Failure detection: a non-finite loss poisons the params —
+                # recover from the last checkpoint with a perturbed batch
+                # stream (see nan_retries_left above), or abort with a
+                # checkpoint-preserving message once retries are exhausted.
                 if not np.isfinite(scalars["loss"]):
+                    restored = (self.ckpt.latest_step()
+                                if nan_retry < nan_retries_left else None)
+                    if restored is not None:
+                        nan_retry += 1
+                        self._log({"step": step, "kind": "nan_recovery",
+                                   "retry": nan_retry,
+                                   "restored_step": restored, **scalars})
+                        print(f"[recover] non-finite loss at step {step}; "
+                              f"restored step {restored} "
+                              f"(retry {nan_retry}/{nan_retries_left}, "
+                              f"re-rolled batch stream)")
+                        state = self.ckpt.restore(state)
+                        step = int(jax.device_get(state.step))
+                        data_key = jax.random.fold_in(
+                            jax.random.PRNGKey(hp["seed"] + 1), nan_retry)
+                        t0 = time.perf_counter()
+                        rays_done = 0
+                        continue
                     self._log({"step": step, "kind": "abort",
                                "reason": "non-finite loss", **scalars})
                     raise FloatingPointError(

@@ -118,6 +118,18 @@ class BaseNeRF:
     #  "vjp" — the round-1 path: jax.vjp over the compute graph, whose
     #    differentiation generates second-order passes.
     normals_impl: str = "explicit"
+    # Point-normals mode (training-time fine level, explicit impl only):
+    # evaluate the density-gradient chain ONCE per ray at the expected
+    # Gaussian (weights-averaged means/covs) instead of at every sample,
+    # then use -grad(sigma)(E[x]) as the surface normal. The per-sample
+    # chain costs ~8 trunk-width dots forward plus their backward — ~40%
+    # of the train step at batch 512 — while its output is only ever
+    # consumed as the per-ray weighted average (reference
+    # /root/reference/models/pano_mip_nerf.py:296-313); the point query
+    # is the same computation at 1/num_samples the rows. Semantics change
+    # (-grad at E[x] vs E[-grad]); quality gated by the 44k study
+    # (NOTES.md round-3) before any default flip.
+    point_normals: bool = False
     # Randomly rotate the env-direction set per ray per step (training only).
     # Haar rotation of the rigid lattice is the best-variance UNBIASED
     # estimator (the reference's fixed set is biased for emitters smaller
@@ -194,7 +206,11 @@ class BaseNeRF:
         ride the v3 fine-level kernel, else None. Static — resolved at
         trace time from the (static) ray count."""
         if (self.use_fused_kernel or self.fused_batch_threshold <= 0
-                or batch < self.fused_batch_threshold):
+                or batch < self.fused_batch_threshold
+                # the v3 kernel computes per-sample normals — point mode
+                # must keep the explicit path (its own chain is 1/S the
+                # kernel's work anyway)
+                or self.point_normals):
             return None
         cand = dataclasses.replace(self, use_fused_kernel=True,
                                    fused_scope="fine")
@@ -258,6 +274,7 @@ class BaseNeRF:
             eval_coarse_samples=int(hparams.get("val.coarse_samples", 0)),
             eval_fine_samples=int(hparams.get("val.fine_samples", 0)),
             eval_env_samples=int(hparams.get("val.env_samples", 0)),
+            point_normals=bool(hparams.get("nerf.point_normals", False)),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -379,7 +396,8 @@ class BaseNeRF:
 
     def _raw_outputs_density_grad(self, params, means: Array, covs: Array,
                                   viewdirs: Array,
-                                  want_bottleneck: bool = False):
+                                  want_bottleneck: bool = False,
+                                  want_grad: bool = True):
         """Like `_raw_outputs`, plus d(raw_density[..., 0])/d(means).
 
         The gradient is built explicitly from the forward ReLU masks and the
@@ -396,7 +414,7 @@ class BaseNeRF:
         from pano_nerf_tpu.models import normals as normals_lib
         if self.disable_integration:
             covs = jnp.zeros_like(covs)
-        if self._fused_ok(scope="fine"):
+        if self._fused_ok(scope="fine") and want_grad:
             # v3 kernel: IPE + MLP + gradient chain fused in VMEM, with a
             # hand-written backward (kernels/fused_mlp_normals.py). The
             # whole fine level trains through custom_vjp — legal because
@@ -420,13 +438,65 @@ class BaseNeRF:
                 self.append_identity)[..., None, :].astype(self.compute_dtype)
         out = normals_lib.mlp_with_density_grad(
             params, enc, venc, self.mlp_skip_index, self.compute_dtype,
-            want_bottleneck=want_bottleneck)
+            want_bottleneck=want_bottleneck, want_grad=want_grad)
         raw_rgb, raw_density, g_enc = out[:3]
-        d_raw_sigma = normals_lib.density_means_grad(
+        d_raw_sigma = (normals_lib.density_means_grad(
             g_enc, enc_f32, self.min_deg_point, self.max_deg_point)
+            if want_grad else None)
         if want_bottleneck:
             return raw_rgb, raw_density, d_raw_sigma, out[3]
         return raw_rgb, raw_density, d_raw_sigma
+
+    def _point_normal(self, params, means: Array, covs: Array,
+                      viewdirs: Array, weights: Array, directions: Array,
+                      use_ort_loss: bool):
+        """Surface normal from ONE density-gradient query at the per-ray
+        expected Gaussian (point-normals mode, see `point_normals`).
+
+        The expected moments are the compositing-weight averages of the
+        fine-level sample Gaussians; the chain runs on [B, 1, 3] rows —
+        1/num_samples the cost of the per-sample walk. The softplus
+        activation chain is a positive per-ray scalar and cannot change
+        the direction of the gradient, so the normal is -g_raw normalized
+        directly. Gradients flow through both the chain (first-order
+        explicit code) and the weights (as in the reference's E[-grad]).
+        """
+        from pano_nerf_tpu.models import normals as normals_lib
+        # The query location is a stop-gradient: the normal supervises the
+        # FIELD at the current surface estimate, not the estimate itself.
+        # Without this the weights->query-point->normal->surface-loss
+        # feedback destabilizes early training (measured: SSIM collapse by
+        # 4k steps, NaN by 6k, reproducible across re-rolled streams).
+        w = jax.lax.stop_gradient(weights / jnp.maximum(
+            jnp.sum(weights, axis=-1, keepdims=True), 1e-8))
+        mean_pt = jnp.sum(w[..., None] * means, axis=-2, keepdims=True)
+        cov_pt = jnp.sum(w[..., None] * covs, axis=-2, keepdims=True)
+        mean_pt = jax.lax.stop_gradient(mean_pt)
+        cov_pt = jax.lax.stop_gradient(cov_pt)
+        if self.disable_integration:
+            cov_pt = jnp.zeros_like(cov_pt)
+        enc_f32 = mip.integrated_pos_enc(mean_pt, cov_pt,
+                                         self.min_deg_point,
+                                         self.max_deg_point)
+        enc = enc_f32.astype(self.compute_dtype)
+        venc = None
+        if self.use_viewdirs:
+            venc = mip.pos_enc(
+                viewdirs, 0, self.deg_view,
+                self.append_identity)[..., None, :].astype(
+                    self.compute_dtype)
+        _, _, g_enc = normals_lib.mlp_with_density_grad(
+            params, enc, venc, self.mlp_skip_index, self.compute_dtype)
+        d_raw = normals_lib.density_means_grad(
+            g_enc, enc_f32, self.min_deg_point, self.max_deg_point)
+        normal = -d_raw[..., 0, :]
+        normal = normal / jnp.maximum(
+            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+        ort_loss = None
+        if use_ort_loss:
+            dot = jnp.sum(normal * directions, axis=-1)
+            ort_loss = jnp.mean(jax.nn.relu(dot) ** 2)
+        return normal, ort_loss
 
     def _view_branch(self, params, bottleneck: Array, viewdirs: Array
                      ) -> Array:

@@ -47,7 +47,8 @@ def _scales(min_deg: int, max_deg: int) -> np.ndarray:
 
 def mlp_with_density_grad(params, x_enc: Array, v_enc: Optional[Array],
                           skip_index: int, dtype: Any,
-                          want_bottleneck: bool = False):
+                          want_bottleneck: bool = False,
+                          want_grad: bool = True):
     """NerfMLP forward + explicit d(raw_density[..., 0])/d(x_enc).
 
     Args:
@@ -60,6 +61,10 @@ def mlp_with_density_grad(params, x_enc: Array, v_enc: Optional[Array],
         (compute dtype), so callers can re-query the color head under a
         different view direction via `view_branch_apply` without paying a
         second trunk evaluation (the view-consistency loss does this).
+      want_grad: when False, skip the gradient walk entirely and return
+        g_enc=None — a plain forward that still exposes the bottleneck
+        (used by the point-normals mode, which runs the chain only at the
+        per-ray expected point instead of at every sample).
         (Stacking BOTH directions through one 2M-row condition matmul was
         also tried and measured WORSE — 111.9k vs 117.1k rays/s on v5e:
         the stacked [2,B,S,283] tensor materializes and breaks the fusion
@@ -110,6 +115,12 @@ def mlp_with_density_grad(params, x_enc: Array, v_enc: Optional[Array],
         raw_rgb = dense(hv, p["color"])
     else:
         raw_rgb = dense(trunk_out, p["color"])
+
+    if not want_grad:
+        if want_bottleneck:
+            return (raw_rgb.astype(F32), raw_density.astype(F32), None,
+                    bottleneck)
+        return raw_rgb.astype(F32), raw_density.astype(F32), None
 
     # --- explicit gradient chain, walked back through the stages ---
     width = trunk[-1]["kernel"].shape[1]

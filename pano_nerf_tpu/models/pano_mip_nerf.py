@@ -251,6 +251,14 @@ class PanoMipNeRF(BaseNeRF):
             # (`first_order`), where vjp_fn would execute a backward per
             # chunk just to read the gradient.
             explicit = fine and self.normals_impl == "explicit"
+            # Point-normals mode (TRAINING only): skip the per-sample
+            # gradient walk entirely and run ONE chain query at the
+            # expected Gaussian after compositing (BaseNeRF._point_normal).
+            # Eval/first-order calls keep the reference's per-sample
+            # E[-grad] semantics on every backend (incl. the render
+            # kernel), so validation products are computed identically
+            # whichever mode trained the field.
+            point = explicit and self.point_normals and not first_order
             bottleneck = None
             if explicit:
                 # Forward + explicit density gradient in one pass: the whole
@@ -260,7 +268,7 @@ class PanoMipNeRF(BaseNeRF):
                 want_bn = use_vc_loss and randomized and self.use_viewdirs
                 out_dg = self._raw_outputs_density_grad(
                     params, means, covs, rays.viewdirs,
-                    want_bottleneck=want_bn)
+                    want_bottleneck=want_bn, want_grad=not point)
                 raw_rgb, raw_density, d_raw_sigma = out_dg[:3]
                 if want_bn:
                     bottleneck = out_dg[3]
@@ -272,7 +280,8 @@ class PanoMipNeRF(BaseNeRF):
                 rgb = rgb * (1.0 + 2.0 * self.rgb_padding) - self.rgb_padding
                 density = jax.nn.softplus(raw_sigma + self.density_bias)
                 # Chain softplus: d(density)/d(means) = sigmoid * d(raw).
-                d_means = (jax.nn.sigmoid(raw_sigma + self.density_bias)
+                d_means = (None if point else
+                           jax.nn.sigmoid(raw_sigma + self.density_bias)
                            * d_raw_sigma)
             else:
                 graph = make_graph(covs, rays.viewdirs, keys[2 * i_level + 1],
@@ -301,8 +310,15 @@ class PanoMipNeRF(BaseNeRF):
                 (d_means,) = vjp_fn(
                     (jnp.zeros_like(rgb), jnp.ones_like(density),
                      jnp.zeros_like(albedos), jnp.zeros_like(roughnesses)))
-            normal, ort_loss, w_norm = self._expected_normals(
-                weights, -d_means, rays.directions, use_ort_loss)
+            if point:
+                normal, ort_loss = self._point_normal(
+                    params, means, covs, rays.viewdirs, weights,
+                    rays.directions, use_ort_loss)
+                w_norm = weights[..., None] / jnp.sum(
+                    weights, axis=-1)[..., None, None]
+            else:
+                normal, ort_loss, w_norm = self._expected_normals(
+                    weights, -d_means, rays.directions, use_ort_loss)
 
             out = dict(rgb=comp_rgb, distance=distance, acc=acc,
                        dist_loss=dist_loss,

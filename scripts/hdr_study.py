@@ -144,6 +144,19 @@ VARIANTS = {
                   "loss.view_consistency": 0.1,
                   "loss.saturation_loss": 0.0,
                   "nerf.num_coarse_samples": 56},
+    # Point-normals (round-3): ONE density-gradient query at the per-ray
+    # expected Gaussian instead of the per-sample chain (+~90% train
+    # rays/s). Semantics: -grad sigma(E[x]) vs E[-grad sigma(x_i)].
+    "pnorm": {"nerf.point_normals": True},
+    # Point-normals + delayed surface loss: give the volumetric field 10%
+    # of the schedule to localize surfaces before the expected-point
+    # normal query starts steering the surface loss.
+    "pnormd": {"nerf.point_normals": True,
+               "train.surface_start_step": 0.1},
+    # Point-normals with the reference's env S=10: spend part of the +45%
+    # step-cost saving on secondary-march quality to stabilize HDR.
+    "pnorm_e10": {"nerf.point_normals": True,
+                  "nerf.num_env_samples": 10},
     "vc01s0c32e5": {"nerf.env_sampling": "fixed",
                     "loss.view_consistency": 0.1,
                     "loss.saturation_loss": 0.0,

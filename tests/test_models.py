@@ -170,6 +170,42 @@ class TestForward:
                 if v is not None:
                     assert np.isfinite(np.asarray(v)).all()
 
+    def test_point_normals_mode(self, pano, envrays):
+        """point_normals=True: volumetric training outputs are bitwise
+        unchanged (same forward), the normal equals one explicit chain
+        query at the weights-averaged Gaussian, and eval/first-order calls
+        keep per-sample semantics (bitwise match to the default)."""
+        import dataclasses
+
+        from pano_nerf_tpu.models import normals as normals_lib
+        from pano_nerf_tpu.ops import mip
+        model, params = pano
+        pt = dataclasses.replace(model, point_normals=True)
+        rays = make_rays(5)
+        k = jax.random.PRNGKey(7)
+        kw = dict(randomized=True, white_bkgd=False, enable_surf=True,
+                  use_ort_loss=True)
+        base = model(params, k, rays, envrays, **kw)
+        out = pt(params, k, rays, envrays, **kw)
+        for field in ("rgb", "distance", "acc", "dist_loss", "roughness"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(base[-1], field)),
+                np.asarray(getattr(out[-1], field)))
+        # normals differ between modes but both are unit-length
+        n = np.asarray(out[-1].normal)
+        np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0,
+                                   atol=1e-5)
+        assert np.abs(n - np.asarray(base[-1].normal)).max() > 0
+        assert np.isfinite(np.asarray(out[-1].ort_loss)).all()
+        # eval/first-order ignores the flag entirely
+        ev = dict(randomized=False, white_bkgd=False, enable_surf=True,
+                  use_ort_loss=False, first_order=True)
+        for a, b in zip(jax.tree.leaves(model(params, k, rays, envrays,
+                                              **ev)),
+                        jax.tree.leaves(pt(params, k, rays, envrays,
+                                           **ev))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_outputs_finite(self, pano, envrays):
         model, params = pano
         rays = make_rays(4)

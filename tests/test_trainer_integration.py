@@ -158,6 +158,67 @@ class TestTrainerLoop:
         assert train[-1].get("vol_surface") is not None
 
 
+class TestNanRecovery:
+    """Failure recovery: a non-finite loss restores the last checkpoint and
+    continues with a re-rolled batch stream (train.nan_recovery); with the
+    budget at 0 the abort-with-checkpoint-pointer behavior is preserved."""
+
+    def _poisoning_trainer(self, scene, out, steps, poison_call):
+        import jax.numpy as jnp
+
+        from pano_nerf_tpu.engine.trainer import Trainer
+
+        hp = small_hparams(scene, out, steps=steps)
+        hp["val.check_every_n_epoch"] = 0.002   # checkpoint every 2 steps
+        hp["log_every_n_step"] = 1
+        trainer = Trainer(hp)
+        calls = {"n": 0}
+        orig = trainer.system.make_train_step_device_data
+
+        def make(dataset, enable_surf, batch_size, steps_per_call=1):
+            fn = orig(dataset, enable_surf, batch_size,
+                      steps_per_call=steps_per_call)
+
+            def wrapped(state, key):
+                state2, parts = fn(state, key)
+                calls["n"] += 1
+                if calls["n"] == poison_call:
+                    parts = dict(parts)
+                    parts["loss"] = jnp.float32(float("nan"))
+                return state2, parts
+            return wrapped
+
+        trainer.system.make_train_step_device_data = make
+        return trainer, hp
+
+    def test_recovers_from_checkpoint(self, scene, tmp_path):
+        out = str(tmp_path / "exp")
+        os.makedirs(out, exist_ok=True)
+        trainer, _ = self._poisoning_trainer(scene, out, steps=8,
+                                             poison_call=4)
+        trainer.fit(sanity_val=False)
+        with open(os.path.join(out, "metrics.jsonl")) as fp:
+            records = [json.loads(l) for l in fp]
+        rec = [r for r in records if r["kind"] == "nan_recovery"]
+        assert len(rec) == 1
+        assert rec[0]["restored_step"] == 2 and rec[0]["retry"] == 1
+        # training continued to completion after the rewind
+        assert trainer.ckpt.latest_step() == 8
+        assert not [r for r in records if r["kind"] == "abort"]
+
+    def test_abort_when_disabled(self, scene, tmp_path):
+        out = str(tmp_path / "exp")
+        os.makedirs(out, exist_ok=True)
+        trainer, hp = self._poisoning_trainer(scene, out, steps=8,
+                                              poison_call=4)
+        hp["train.nan_recovery"] = 0
+        with pytest.raises(FloatingPointError):
+            trainer.fit(sanity_val=False)
+        with open(os.path.join(out, "metrics.jsonl")) as fp:
+            records = [json.loads(l) for l in fp]
+        assert [r for r in records if r["kind"] == "abort"]
+
+
 class TestCheckpointer:
     def test_roundtrip(self, tmp_path):
         import jax
