@@ -217,6 +217,16 @@ class Trainer:
         # behaves exactly as before. 0 disables.
         nan_retries_left = int(hp.get("train.nan_recovery", 2))
         nan_retry = 0
+        # After a recovery: (a) the retry budget refills once the run has
+        # made real progress past the failure (two val periods), so an
+        # 88k run can absorb several isolated hiccups while a truly-stuck
+        # loop still aborts; (b) dispatch falls back to SINGLE-step
+        # executables through the failure window — replay probes showed
+        # the blow-ups do not reproduce under a different executable mix
+        # (NOTES.md round-3 spike study), so changing the mix is itself
+        # part of the recovery.
+        nan_failed_step = -1
+        nan_cooldown_until = -1
 
         t0 = time.perf_counter()
         rays_done = 0
@@ -230,7 +240,7 @@ class Trainer:
                 print(f"[profile] trace written to {profile_dir}")
             surf = steps_with_surface and step >= self.surface_start_step
             if device_data:
-                if _group_ok(step):
+                if _group_ok(step) and step >= nan_cooldown_until:
                     fn = scan_fn_surf if surf else scan_fn_plain
                     k_steps = spc
                 else:
@@ -256,17 +266,23 @@ class Trainer:
                 # stream (see nan_retries_left above), or abort with a
                 # checkpoint-preserving message once retries are exhausted.
                 if not np.isfinite(scalars["loss"]):
+                    if (nan_failed_step >= 0
+                            and step >= nan_failed_step + 2 * self.val_every):
+                        nan_retry = 0   # real progress past the failure
                     restored = (self.ckpt.latest_step()
                                 if nan_retry < nan_retries_left else None)
                     if restored is not None:
                         nan_retry += 1
+                        nan_failed_step = step
+                        nan_cooldown_until = step + self.log_every
                         self._log({"step": step, "kind": "nan_recovery",
                                    "retry": nan_retry,
                                    "restored_step": restored, **scalars})
                         print(f"[recover] non-finite loss at step {step}; "
                               f"restored step {restored} "
                               f"(retry {nan_retry}/{nan_retries_left}, "
-                              f"re-rolled batch stream)")
+                              f"re-rolled batch stream, single-step "
+                              f"cooldown to {nan_cooldown_until})")
                         state = self.ckpt.restore(state)
                         step = int(jax.device_get(state.step))
                         data_key = jax.random.fold_in(

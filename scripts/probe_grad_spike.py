@@ -54,9 +54,11 @@ def main():
     hp.update({"data_path": args.data_path, "range": (0, 10),
                "train.factor": 1, "val.factor": 1, "seed": args.seed,
                "optimizer.max_steps": 88000,
-               # Restore against the checkpoint's plain-Adam opt_state;
-               # the clip is chained onto tx after restore below.
-               "optimizer.grad_clip": 0.0,
+               # The opt_state template must match the checkpoint: --clip
+               # builds the clip into the system's tx (a checkpoint saved
+               # with optimizer.grad_clip has the chained 2-tuple state);
+               # --clip 0 probes a plain-Adam checkpoint.
+               "optimizer.grad_clip": args.clip,
                "parallel.num_devices": 1})
     config_lib.merge_from_list(hp, args.opts)
 
@@ -71,16 +73,6 @@ def main():
             os.path.join(args.ckpt_dir, "checkpoints")).restore(state)
     start = int(jax.device_get(state.step))
     print(f"# start step {start}", file=sys.stderr)
-
-    if args.clip > 0:
-        # Chain the clip in front of the restored Adam: the clip transform
-        # is stateless, so the checkpointed opt_state slots in unchanged.
-        adam_tx = system.tx
-        clip_tx = optax.clip_by_global_norm(args.clip)
-        system.tx = optax.chain(clip_tx, adam_tx)
-        state = TrainState(step=state.step, params=state.params,
-                           opt_state=(clip_tx.init(state.params),
-                                      state.opt_state))
 
     dataset = system.put_dataset_on_device(ds.rays, ds.images)
     rays_all, rgbs_all = dataset
