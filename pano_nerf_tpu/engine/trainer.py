@@ -266,6 +266,30 @@ class Trainer:
                 # stream (see nan_retries_left above), or abort with a
                 # checkpoint-preserving message once retries are exhausted.
                 if not np.isfinite(scalars["loss"]):
+                    # Triage before recovering: a non-finite READING does
+                    # not always mean a poisoned state. Replay probes of
+                    # live failures found pristine checkpoints and clean
+                    # re-runs of the exact failing window (same stream,
+                    # same executable) — consistent with a transient
+                    # device/readback corruption on this host's TPU
+                    # tunnel, not a numeric divergence. Params finiteness
+                    # is computed ON DEVICE: if the state is healthy,
+                    # log the event and keep training; rewind only when
+                    # the params are actually non-finite.
+                    import jax.numpy as jnp
+                    params_finite = bool(jax.device_get(
+                        jax.jit(lambda p: jnp.all(jnp.array(
+                            [jnp.all(jnp.isfinite(x))
+                             for x in jax.tree.leaves(p)])))(state.params)))
+                    if params_finite:
+                        self._log({"step": step, "kind": "nan_false_alarm",
+                                   **scalars})
+                        print(f"[recover] non-finite loss READING at step "
+                              f"{step} but params are finite on device — "
+                              f"transient readback, continuing")
+                        t0 = time.perf_counter()
+                        rays_done = 0
+                        continue
                     if (nan_failed_step >= 0
                             and step >= nan_failed_step + 2 * self.val_every):
                         nan_retry = 0   # real progress past the failure

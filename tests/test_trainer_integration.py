@@ -163,7 +163,12 @@ class TestNanRecovery:
     continues with a re-rolled batch stream (train.nan_recovery); with the
     budget at 0 the abort-with-checkpoint-pointer behavior is preserved."""
 
-    def _poisoning_trainer(self, scene, out, steps, poison_call):
+    def _poisoning_trainer(self, scene, out, steps, poison_call,
+                           poison_params=True):
+        """poison_params=True simulates a real divergence (NaN in the
+        state); False simulates a corrupted loss READBACK with a healthy
+        state (the transient the triage path distinguishes)."""
+        import jax
         import jax.numpy as jnp
 
         from pano_nerf_tpu.engine.trainer import Trainer
@@ -185,6 +190,10 @@ class TestNanRecovery:
                 if calls["n"] == poison_call:
                     parts = dict(parts)
                     parts["loss"] = jnp.float32(float("nan"))
+                    if poison_params:
+                        state2 = state2._replace(params=jax.tree.map(
+                            lambda x: x * jnp.float32(float("nan")),
+                            state2.params))
                 return state2, parts
             return wrapped
 
@@ -205,6 +214,21 @@ class TestNanRecovery:
         # training continued to completion after the rewind
         assert trainer.ckpt.latest_step() == 8
         assert not [r for r in records if r["kind"] == "abort"]
+
+    def test_false_alarm_continues(self, scene, tmp_path):
+        """A non-finite loss READING with finite params on device is a
+        transient readback — logged, no rewind, training completes."""
+        out = str(tmp_path / "exp")
+        os.makedirs(out, exist_ok=True)
+        trainer, _ = self._poisoning_trainer(scene, out, steps=8,
+                                             poison_call=4,
+                                             poison_params=False)
+        trainer.fit(sanity_val=False)
+        with open(os.path.join(out, "metrics.jsonl")) as fp:
+            records = [json.loads(l) for l in fp]
+        assert [r for r in records if r["kind"] == "nan_false_alarm"]
+        assert not [r for r in records if r["kind"] == "nan_recovery"]
+        assert trainer.ckpt.latest_step() == 8
 
     def test_abort_when_disabled(self, scene, tmp_path):
         out = str(tmp_path / "exp")
