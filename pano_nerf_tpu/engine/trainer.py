@@ -155,7 +155,19 @@ class Trainer:
         # boundaries so cadences behave exactly as before.
         spc = int(hp.get("train.steps_per_call", 8)) if device_data else 1
         spc = max(1, spc)
-        if device_data:
+        dataset = None
+        step_fn_surf = step_fn_plain = None
+        scan_fn_surf = scan_fn_plain = None
+
+        def build_device_fns():
+            """(Re)upload the dataset to HBM and (re)build the jitted step
+            functions over the fresh buffers. Called once at startup and
+            again by the failure recovery: replay forensics (NOTES.md
+            round-3 spike study) point at corruption of long-lived device
+            buffers, so recovery re-creates every device-side input, not
+            just the TrainState."""
+            nonlocal dataset, step_fn_surf, step_fn_plain
+            nonlocal scan_fn_surf, scan_fn_plain
             dataset = system.put_dataset_on_device(ds.rays, ds.images)
             batch = int(hp["train.batch_size"])
             step_fn_surf = (system.make_train_step_device_data(
@@ -168,6 +180,9 @@ class Trainer:
                     if steps_with_surface else None)
                 scan_fn_plain = system.make_train_step_device_data(
                     dataset, False, batch, steps_per_call=spc)
+
+        if device_data:
+            build_device_fns()
             print(f"[data] device-resident ({ds_bytes / 1e6:.0f} MB, "
                   f"{ds.num_rays:,} rays"
                   + (f", {spc} steps/dispatch" if spc > 1 else "") + ")")
@@ -299,14 +314,33 @@ class Trainer:
                         nan_retry += 1
                         nan_failed_step = step
                         nan_cooldown_until = step + self.log_every
+                        # Diagnose the long-lived device buffers before
+                        # rebuilding them: records whether the HBM-resident
+                        # dataset itself was corrupted (the leading
+                        # hypothesis from the replay forensics).
+                        data_finite = None
+                        if device_data and dataset is not None:
+                            import jax.numpy as jnp
+                            data_finite = bool(jax.device_get(
+                                jax.jit(lambda t: jnp.all(jnp.array(
+                                    [jnp.all(jnp.isfinite(x))
+                                     for x in jax.tree.leaves(t)])))(
+                                         dataset)))
                         self._log({"step": step, "kind": "nan_recovery",
                                    "retry": nan_retry,
-                                   "restored_step": restored, **scalars})
+                                   "restored_step": restored,
+                                   "device_data_finite": data_finite,
+                                   **scalars})
                         print(f"[recover] non-finite loss at step {step}; "
                               f"restored step {restored} "
                               f"(retry {nan_retry}/{nan_retries_left}, "
                               f"re-rolled batch stream, single-step "
-                              f"cooldown to {nan_cooldown_until})")
+                              f"cooldown to {nan_cooldown_until}, "
+                              f"device data finite: {data_finite})")
+                        if device_data:
+                            # Rebuild every device-side input over fresh
+                            # buffers, not just the TrainState.
+                            build_device_fns()
                         state = self.ckpt.restore(state)
                         step = int(jax.device_get(state.step))
                         data_key = jax.random.fold_in(
