@@ -489,9 +489,7 @@ class BaseNeRF:
             params, enc, venc, self.mlp_skip_index, self.compute_dtype)
         d_raw = normals_lib.density_means_grad(
             g_enc, enc_f32, self.min_deg_point, self.max_deg_point)
-        normal = -d_raw[..., 0, :]
-        normal = normal / jnp.maximum(
-            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+        normal = mip.safe_normalize(-d_raw[..., 0, :])
         ort_loss = None
         if use_ort_loss:
             dot = jnp.sum(normal * directions, axis=-1)
@@ -556,11 +554,12 @@ class BaseNeRF:
         Reference: /root/reference/models/pano_mip_nerf.py:296-313.
         """
         w_norm = weights[..., None] / jnp.sum(weights, axis=-1)[..., None, None]
-        normals = normals / jnp.maximum(
-            jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+        # safe_normalize, NOT x/max(norm,eps): a sample with an exactly-zero
+        # density gradient otherwise NaNs the whole step's gradients
+        # (NOTES.md round-3 spike forensics — this line was the root cause).
+        normals = mip.safe_normalize(normals)
         normal = jnp.sum(w_norm * normals, axis=-2)
-        normal = normal / jnp.maximum(
-            jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12)
+        normal = mip.safe_normalize(normal)
         ort_loss = None
         if use_ort_loss:
             dot = jnp.sum(normals * directions[..., None, :], axis=-1,

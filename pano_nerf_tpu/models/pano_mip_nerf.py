@@ -337,8 +337,7 @@ class PanoMipNeRF(BaseNeRF):
                 # First-order subgraph (feeds the loss directly) — may fuse.
                 k_vc = jax.random.fold_in(key, 0x5C)
                 d_alt = jax.random.normal(k_vc, rays.viewdirs.shape)
-                d_alt = d_alt / jnp.maximum(
-                    jnp.linalg.norm(d_alt, axis=-1, keepdims=True), 1e-12)
+                d_alt = mip.safe_normalize(d_alt)
                 if bottleneck is not None:
                     # Condition-stack-only re-query on the saved bottleneck:
                     # identical values AND gradients to a full re-eval (the

@@ -452,6 +452,31 @@ _ICOSAHEDRON_BASIS = np.array([
 ], dtype=np.float32).T  # [3, 21]
 
 
+def safe_normalize(x: Array, eps: float = 1e-12) -> Array:
+    """Unit vectors along the last axis with a FINITE backward at x == 0.
+
+    The common `x / maximum(norm(x), eps)` guards only the forward:
+    `norm`'s own backward contains sqrt'(0) = inf, so an exactly-zero
+    vector (e.g. a sample whose density gradient has every ReLU path
+    dead) turns into NaN gradients via 0 * inf — measured as the root
+    cause of the round-3 long-run NaN events (grad[ort]/grad[surface]
+    non-finite at a finite loss; NOTES.md spike forensics). Clamping the
+    SQUARED norm before the sqrt keeps both passes finite (max's
+    subgradient selects the constant branch at 0) and is bitwise
+    identical to the naive form wherever ||x|| >= eps.
+
+    Degenerate vectors (||x|| < eps) map to exactly zero with exactly
+    zero gradient — the subgradient convention — so they neither NaN the
+    step nor blow up the global norm the optimizer clip sees.
+    """
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    # The inner maximum keeps the untaken branch finite: without it,
+    # sqrt(0) puts an inf in the where, whose BACKWARD is 0 * inf = NaN
+    # (the exact bug this helper exists to fix).
+    norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
+    return jnp.where(sq >= eps * eps, x / norm, 0.0)
+
+
 def contract(x: Array) -> Array:
     """mip-NeRF 360 scene contraction: maps R^3 into a radius-2 ball.
 
@@ -606,11 +631,10 @@ def importance_env_directions(key: jax.Array, cell_dirs: Array,
     ref = jnp.where(near_z, jnp.array([1.0, 0.0, 0.0]),
                     jnp.array([0.0, 0.0, 1.0]))
     a = jnp.cross(mu, ref)
-    a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+    a = safe_normalize(a)
     b = jnp.cross(mu, a)
     dirs = ct * mu + st * (jnp.cos(phi) * a + jnp.sin(phi) * b)
-    dirs = dirs / jnp.maximum(
-        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    dirs = safe_normalize(dirs)
 
     # Exact density of the process (sum over every cap containing the
     # direction; >= with a small slack so a sample on its own cap boundary
@@ -657,11 +681,10 @@ def stratified_env_directions(key: jax.Array, cell_dirs: Array,
     ref = jnp.where(near_z, jnp.array([1.0, 0.0, 0.0]),
                     jnp.array([0.0, 0.0, 1.0]))
     a = jnp.cross(mu, ref)
-    a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+    a = safe_normalize(a)
     b = jnp.cross(mu, a)
     dirs = ct * mu + st * (jnp.cos(phi) * a + jnp.sin(phi) * b)
-    dirs = dirs / jnp.maximum(
-        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    dirs = safe_normalize(dirs)
     n = jnp.sum(jnp.einsum("bdi,bci->bdc", dirs, cell_dirs)
                 >= cos_half - 1e-6, axis=-1)
     weight = A_cap / jnp.maximum(n, 1)

@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pano_nerf_tpu.ops.mip import safe_normalize
+
 Array = jax.Array
 
 
@@ -58,7 +60,7 @@ def microfacet_brdf(albedo: Array, normal: Array, roughness: Array, l: Array,
     vv = v[..., None, :]
     r = roughness[..., None, :]
     h = l + vv
-    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    h = safe_normalize(h)  # finite backward at l == -v
 
     NoH = jax.nn.relu(_dot(n, h))
     VoH = jax.nn.relu(_dot(vv, h))
@@ -87,7 +89,7 @@ def blinn_phong_brdf(albedo: Array, normal: Array, roughness: Array, l: Array,
     n = normal[..., None, :]
     vv = v[..., None, :]
     h = l + vv
-    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    h = safe_normalize(h)  # finite backward at l == -v
     NoH = jax.nn.relu(_dot(n, h))
     NoL = _dot(n, l)
     specular = jnp.nan_to_num(NoH ** roughness[..., None, :], nan=0.0, posinf=0.0)

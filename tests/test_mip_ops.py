@@ -272,3 +272,38 @@ class TestVolumetricRendering:
         _, _, acc, w = self._render(3.0)
         np.testing.assert_allclose(np.asarray(w).sum(-1), np.asarray(acc),
                                    rtol=1e-6)
+
+
+class TestSafeNormalize:
+    """safe_normalize: the backward-safe unit-vector helper that fixed the
+    round-3 long-run NaN events (NOTES.md spike forensics — a per-sample
+    density gradient of exactly zero NaN'd the whole step's gradients
+    through norm's sqrt'(0)=inf backward)."""
+
+    def test_matches_naive_on_healthy_inputs(self):
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((64, 3))
+                        .astype(np.float32))
+        naive = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        np.testing.assert_allclose(np.asarray(mip.safe_normalize(x)),
+                                   np.asarray(naive), rtol=1e-6, atol=1e-7)
+
+    def test_zero_vector_maps_to_zero_with_zero_grad(self):
+        g = jax.grad(lambda x: jnp.sum(mip.safe_normalize(x)))(jnp.zeros(3))
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+        np.testing.assert_array_equal(
+            np.asarray(mip.safe_normalize(jnp.zeros(3))), 0.0)
+
+    def test_naive_form_would_nan(self):
+        """Documents the bug being guarded: the old x/max(norm,eps) form
+        produces NaN gradients at x == 0."""
+        def naive(x):
+            return jnp.sum(x / jnp.maximum(
+                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12))
+        g = jax.grad(naive)(jnp.zeros(3))
+        assert np.isnan(np.asarray(g)).all()
+
+    def test_grad_finite_on_mixed_batch(self):
+        x = jnp.asarray(np.array([[0.0, 0.0, 0.0], [1e-30, 0.0, 0.0],
+                                  [0.0, 3.0, 4.0]], np.float32))
+        g = jax.grad(lambda v: jnp.sum(mip.safe_normalize(v) ** 2))(x)
+        assert np.isfinite(np.asarray(g)).all()
