@@ -282,15 +282,15 @@ class Trainer:
                 # checkpoint-preserving message once retries are exhausted.
                 if not np.isfinite(scalars["loss"]):
                     # Triage before recovering: a non-finite READING does
-                    # not always mean a poisoned state. Replay probes of
-                    # live failures found pristine checkpoints and clean
-                    # re-runs of the exact failing window (same stream,
-                    # same executable) — consistent with a transient
-                    # device/readback corruption on this host's TPU
-                    # tunnel, not a numeric divergence. Params finiteness
-                    # is computed ON DEVICE: if the state is healthy,
-                    # log the event and keep training; rewind only when
-                    # the params are actually non-finite.
+                    # not always mean a poisoned state (a readback can be
+                    # corrupt while the device state is healthy). Params
+                    # finiteness is computed ON DEVICE: if the state is
+                    # healthy, log the event and keep training; rewind
+                    # only when the params are actually non-finite.
+                    # (The dominant genuinely-poisoned class — NaN grads
+                    # from sqrt'(0) in the normalize backward at a
+                    # zero-density-gradient sample — is fixed at the root
+                    # by ops/mip.safe_normalize; see NOTES.md forensics.)
                     import jax.numpy as jnp
                     params_finite = bool(jax.device_get(
                         jax.jit(lambda p: jnp.all(jnp.array(
@@ -301,7 +301,7 @@ class Trainer:
                                    **scalars})
                         print(f"[recover] non-finite loss READING at step "
                               f"{step} but params are finite on device — "
-                              f"transient readback, continuing")
+                              f"false alarm, continuing")
                         t0 = time.perf_counter()
                         rays_done = 0
                         continue
