@@ -250,11 +250,18 @@ class PanoNeRFSystem(BaseSystem):
         if steps_per_call == 1:
             return self._jit_train(one_step)
 
+        unroll = int(self.hparams.get("train.scan_unroll", 1))
+
         def multi_step(state: TrainState, key: jax.Array):
             def body(st, _):
                 return one_step(st, key)
+            # `unroll` copies the body inside the while loop: xprof showed
+            # ~534 us/step of while-op self-time (inter-iteration
+            # scheduling gaps) at unroll=1; unrolling trades compile time
+            # (body duplicated) for removing those gaps.
             state, parts = jax.lax.scan(body, state, None,
-                                        length=steps_per_call)
+                                        length=steps_per_call,
+                                        unroll=min(unroll, steps_per_call))
             return state, jax.tree.map(lambda x: x[-1], parts)
 
         return self._jit_train(multi_step)
@@ -357,11 +364,14 @@ class MipNeRFSystem(BaseSystem):
         if steps_per_call == 1:
             return self._jit_train(one_step)
 
+        unroll = int(self.hparams.get("train.scan_unroll", 1))
+
         def multi_step(state: TrainState, key: jax.Array):
             def body(st, _):
                 return one_step(st, key)
             state, parts = jax.lax.scan(body, state, None,
-                                        length=steps_per_call)
+                                        length=steps_per_call,
+                                        unroll=min(unroll, steps_per_call))
             return state, jax.tree.map(lambda x: x[-1], parts)
 
         return self._jit_train(multi_step)

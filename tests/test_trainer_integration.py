@@ -116,6 +116,27 @@ class TestTrainerLoop:
         assert all(np.isfinite(r["loss"]) for r in records
                    if r["kind"] == "train")
 
+    def test_scan_unroll_matches_rolled(self, scene, tmp_path):
+        """train.scan_unroll duplicates the scan body (deleting while-op
+        scheduling gaps); the trained result must match the rolled loop —
+        same RNG stream, same updates (fp-scheduling tolerance)."""
+        from pano_nerf_tpu.engine.trainer import Trainer
+
+        losses = {}
+        for unroll in (1, 4):
+            out = str(tmp_path / f"unroll{unroll}")
+            os.makedirs(out, exist_ok=True)
+            hp = small_hparams(scene, out, steps=8)
+            hp["train.steps_per_call"] = 4
+            hp["train.scan_unroll"] = unroll
+            hp["log_every_n_step"] = 4
+            Trainer(hp).fit(sanity_val=False)
+            with open(os.path.join(out, "metrics.jsonl")) as fp:
+                records = [json.loads(l) for l in fp]
+            losses[unroll] = [r["loss"] for r in records
+                              if r["kind"] == "train"]
+        np.testing.assert_allclose(losses[1], losses[4], rtol=1e-5)
+
     def test_scan_groups_respect_surface_boundary(self, scene, tmp_path):
         """A surface_start_step falling inside a scan group forces the
         single-step fallback so the surface loss engages at exactly the
