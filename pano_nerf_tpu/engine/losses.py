@@ -38,6 +38,10 @@ EXTENSION_DEFAULTS = {
     # 44k measured HDR ws-PSNR -1.8 -> +1.5, emitter ratio 0.89 with
     # per-channel radiance above the knee (NOTES.md round-3 HDR study).
     "loss.view_consistency": 0.1,
+    # Identifiability prior for the emissive-head decomposition
+    # (BaseNeRF.emissive_head): dormant unless the head is enabled
+    # (the loss term requires LevelOutput.emission).
+    "loss.emission_sparsity": 0.01,
 }
 
 
@@ -157,6 +161,18 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
                         jnp.log1p(jax.nn.relu(fine.rgb)), mask)
         loss = loss + w_vc * vc
         parts["vc"] = vc
+    # Emission sparsity (emissive-head decomposition, BaseNeRF.
+    # emissive_head): L1 on the composited self-emission — emission is
+    # non-negative by construction, so this is a masked mean — keeping it
+    # at zero except where evidence (the surface loss at source pixels,
+    # the irradiance coupling) demands it. Without the prior the
+    # view-dependent and emission channels are unidentifiable.
+    w_em = float(hparams.get("loss.emission_sparsity", 0.0))
+    if w_em > 0 and fine.emission is not None:
+        em = jnp.sum(mask * fine.emission) / (
+            3.0 * jnp.maximum(jnp.sum(mask), 1.0))
+        loss = loss + w_em * em
+        parts["emission"] = em
 
     parts["loss"] = loss
     return parts

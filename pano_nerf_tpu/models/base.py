@@ -49,6 +49,9 @@ class LevelOutput(NamedTuple):
     rgb_alt: Optional[Array] = None   # [B, 3] same samples, random viewdir
     #   (view-consistency supervision, round-3 HDR attack — see
     #   engine/losses.py::pano_losses view_consistency term)
+    emission: Optional[Array] = None  # [B, 3] composited self-emission
+    #   (emissive-head decomposition, round-3 HDR attack — see
+    #   BaseNeRF.emissive_head)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -185,6 +188,23 @@ class BaseNeRF:
     # (ops/mip.py::stratified_env_directions) — unbiased like "rotated" but
     # with per-stratum variance only.
     env_sampling: str = "auto"
+    # Emissive-surface decomposition (PanoMipNeRF only, round-3 HDR
+    # attack #2): grow the density head 5 -> 8 channels with a
+    # view-INDEPENDENT self-emission RGB (softplus, HDR-unbounded) added
+    # to the radiance at every sample. Two structural effects: (1) the
+    # surface loss can explain emitter pixels as emission instead of
+    # failing to explain them as reflection (the reference's surf_rgb is
+    # reflection-only, so saturated source pixels push albedo/irradiance
+    # up spuriously — both formulations share this); (2) secondary
+    # (irradiance) rays that hit the source see a radiance channel that
+    # CANNOT decouple across view directions, so the irradiance evidence
+    # supervises source intensity directly — an architectural version of
+    # the view-consistency tie. loss.emission_sparsity keeps emission at
+    # zero except where evidence demands it. Default off = strict
+    # reference parity (5-channel head, bitwise-identical params).
+    # Requires normals_impl="explicit"; Pallas kernels fall back to XLA
+    # (the kernels are specialized to the 5-channel head).
+    emissive_head: bool = False
     # Eval-time FLOP cut (first-order calls only; 0 = same as training).
     # The fine level is the one that carries the metrics, and the coarse
     # CDF already concentrates its resampled positions where density
@@ -275,6 +295,7 @@ class BaseNeRF:
             eval_fine_samples=int(hparams.get("val.fine_samples", 0)),
             eval_env_samples=int(hparams.get("val.env_samples", 0)),
             point_normals=bool(hparams.get("nerf.point_normals", False)),
+            emissive_head=bool(hparams.get("nerf.emissive_head", False)),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -322,7 +343,9 @@ class BaseNeRF:
         return (self.use_viewdirs and self.mlp_net_depth == 8
                 and self.mlp_skip_index == 4
                 and self.mlp_net_depth_condition == 1
-                and self.compute_dtype == jnp.bfloat16)
+                and self.compute_dtype == jnp.bfloat16
+                # every kernel is specialized to the 5-channel head
+                and not self.emissive_head)
 
     def _fused_ok(self, scope: str = "aux") -> bool:
         """Fused kernel is available: TPU backend + standard topology.

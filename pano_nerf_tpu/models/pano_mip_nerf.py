@@ -31,22 +31,35 @@ class PanoMipNeRF(BaseNeRF):
     def from_hparams(cls, hparams: dict, **overrides):
         # 5 channels = density + albedo(3) + roughness, fixed by the system
         # factory in the reference (systems/base_system.py:24), independent of
-        # the yaml's mlp.num_density_channels.
-        overrides.setdefault("mlp_num_density_channels", 5)
+        # the yaml's mlp.num_density_channels. The emissive-head
+        # decomposition (BaseNeRF.emissive_head) appends 3 self-emission
+        # channels.
+        overrides.setdefault(
+            "mlp_num_density_channels",
+            8 if bool(hparams.get("nerf.emissive_head", False)) else 5)
         return super().from_hparams(hparams, **overrides)
 
     def _split_heads(self, raw_density: jax.Array):
-        """density(1) | albedo(3) | roughness(1), with activations.
+        """density(1) | albedo(3) | roughness(1) [| emission(3)], with
+        activations (emission is split separately via `_split_emission`).
 
         Reference: models/pano_mip_nerf.py:263-278. Albedo range follows
         NeRFactor: sigmoid * 0.77 + 0.03.
         """
-        raw_rough = raw_density[..., -1:]
-        raw_albedo = raw_density[..., 1:-1]
         raw_sigma = raw_density[..., :1]
+        raw_albedo = raw_density[..., 1:4]
+        raw_rough = raw_density[..., 4:5]
         albedo = jax.nn.sigmoid(raw_albedo) * 0.77 + 0.03
         roughness = jax.nn.softplus(raw_rough - 1.0)
         return raw_sigma, albedo, roughness
+
+    def _split_emission(self, raw_density: jax.Array):
+        """Per-sample view-independent self-emission [..., 3] (HDR radiance,
+        softplus with a -3 bias so a fresh head emits ~0.05), or None when
+        the emissive decomposition is off (see BaseNeRF.emissive_head)."""
+        if not self.emissive_head:
+            return None
+        return jax.nn.softplus(raw_density[..., 5:8] - 3.0)
 
     def _importance_dirs(self, k_env, make_graph, surf_origins, normal,
                          env_rays):
@@ -241,6 +254,11 @@ class PanoMipNeRF(BaseNeRF):
                         raw_density)
                     rgb, density = self._activate_rgb_density(
                         raw_rgb, raw_sigma, noise_key, randomized)
+                    em = self._split_emission(raw_density)
+                    if em is not None:
+                        # Total radiance = view-dependent + self-emission:
+                        # coarse, env, and probe queries all see emission.
+                        rgb = rgb + em
                     return rgb, density, albedo, roughness
                 return jax.checkpoint(fn) if self.remat else fn
 
@@ -278,12 +296,21 @@ class PanoMipNeRF(BaseNeRF):
                     raw_sigma, keys[2 * i_level + 1], randomized)
                 rgb = jax.nn.softplus(raw_rgb)
                 rgb = rgb * (1.0 + 2.0 * self.rgb_padding) - self.rgb_padding
+                emission_s = self._split_emission(raw_density)
+                if emission_s is not None:
+                    rgb = rgb + emission_s
                 density = jax.nn.softplus(raw_sigma + self.density_bias)
                 # Chain softplus: d(density)/d(means) = sigmoid * d(raw).
                 d_means = (None if point else
                            jax.nn.sigmoid(raw_sigma + self.density_bias)
                            * d_raw_sigma)
             else:
+                if self.emissive_head and fine:
+                    raise NotImplementedError(
+                        "emissive_head requires normals_impl='explicit' "
+                        "(the vjp path does not expose per-sample emission "
+                        "for the surface/sparsity terms)")
+                emission_s = None
                 graph = make_graph(covs, rays.viewdirs, keys[2 * i_level + 1],
                                    fused=first_order or not fine_level)
                 if fine:
@@ -325,6 +352,13 @@ class PanoMipNeRF(BaseNeRF):
                        ort_loss=ort_loss, normal=normal,
                        roughness=jnp.sum(w_norm[..., 0] * roughnesses[..., 0],
                                          axis=-1))
+            if emission_s is not None:
+                # Composited self-emission along the primary ray: feeds the
+                # sparsity prior (engine/losses.py) and the surface render
+                # below (the source's outgoing radiance the reflection-only
+                # formulation cannot represent).
+                out["emission"] = jnp.sum(weights[..., None] * emission_s,
+                                          axis=-2)
             if use_vc_loss and randomized:
                 # View-consistency query (round-3 HDR attack): re-evaluate
                 # the SAME fine samples under a random view direction and
@@ -356,6 +390,11 @@ class PanoMipNeRF(BaseNeRF):
                 rgb_alt_s = (jax.nn.softplus(raw_rgb_alt)
                              * (1.0 + 2.0 * self.rgb_padding)
                              - self.rgb_padding)
+                if emission_s is not None:
+                    # Emission is view-independent by construction: include
+                    # it in both composites so the vc pull acts only on the
+                    # view-dependent part.
+                    rgb_alt_s = rgb_alt_s + emission_s
                 w_sg = jax.lax.stop_gradient(weights)
                 rgb_alt = jnp.sum(w_sg[..., None] * rgb_alt_s, axis=-2)
                 if white_bkgd:
@@ -439,6 +478,11 @@ class PanoMipNeRF(BaseNeRF):
                 surf_rgb, diffuse, _, shade = shading.surface_rendering(
                     env_rgb, albedo, normal, None, lit_dirs, rays.viewdirs,
                     solid_angle)
+                if emission_s is not None:
+                    # Outgoing = self-emission + reflected irradiance: the
+                    # emitter's pixels become explainable by the surface
+                    # loss instead of spuriously inflating albedo/shading.
+                    surf_rgb = surf_rgb + out["emission"]
                 out.update(albedo=albedo, surf_rgb=surf_rgb, diffuse=diffuse,
                            shading=shade)
             ret.append(LevelOutput(**out))

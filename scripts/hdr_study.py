@@ -162,6 +162,21 @@ VARIANTS = {
                     "loss.saturation_loss": 0.0,
                     "nerf.num_coarse_samples": 32,
                     "nerf.num_env_samples": 5},
+    # Emissive-surface decomposition (round-3 HDR attack #2): explicit
+    # view-independent self-emission channels; surface render becomes
+    # emission + reflection. On top of the shipped defaults (vc 0.1, s0).
+    "em": {"nerf.emissive_head": True},
+    # Sparsity sweep: weaker prior frees the emitter to carry more
+    # intensity in emission; stronger pins decomposition to reflection.
+    "em001": {"nerf.emissive_head": True, "loss.emission_sparsity": 0.001},
+    "em1": {"nerf.emissive_head": True, "loss.emission_sparsity": 0.1},
+    # Emission without the vc tie: does the architectural decomposition
+    # alone replace the loss-side tie?
+    "em_novc": {"nerf.emissive_head": True, "loss.view_consistency": 0.0},
+    # Emission + point normals: if emission carries the HDR evidence, the
+    # per-sample normal chain may no longer be what stabilizes HDR — and
+    # pnorm is +45% train throughput (NOTES.md round-3 pnorm study).
+    "em_pn": {"nerf.emissive_head": True, "nerf.point_normals": True},
 }
 
 

@@ -12,6 +12,16 @@ from pano_nerf_tpu.models.pano_mip_nerf import PanoMipNeRF
 from pano_nerf_tpu.ops import mip
 
 
+def _minimal_nerf_hparams():
+    """Full dot-key hparams for from_hparams, straight from the shipped
+    config (the factory indexes most nerf.* keys directly)."""
+    import os
+
+    from pano_nerf_tpu.core.config import load_config
+    return load_config(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs", "panonerf.yaml"))
+
+
 @pytest.fixture(scope="module")
 def pano():
     model = PanoMipNeRF(num_samples=8, num_env_samples=4,
@@ -205,6 +215,68 @@ class TestForward:
                         jax.tree.leaves(pt(params, k, rays, envrays,
                                            **ev))):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_emissive_head(self, envrays):
+        """nerf.emissive_head: 8-channel head, non-negative per-ray
+        emission exposed on the fine level, emission included in radiance
+        AND in the surface render, kernels gated off, sparsity loss wired.
+        Default-off keeps the 5-channel reference head (param-count test
+        above stays the parity guard)."""
+        import dataclasses
+
+        from pano_nerf_tpu.engine import losses as losses_lib
+        model = PanoMipNeRF(num_samples=8, num_env_samples=4,
+                            compute_dtype=jnp.float32, emissive_head=True,
+                            mlp_num_density_channels=8)
+        params = model.init(jax.random.PRNGKey(0))
+        assert params["params"]["density"]["kernel"].shape == (256, 8)
+        rays = make_rays(5)
+        k = jax.random.PRNGKey(7)
+        outs = model(params, k, rays, envrays, randomized=True,
+                     white_bkgd=False, enable_surf=True, use_ort_loss=True,
+                     use_vc_loss=True)
+        fine = outs[-1]
+        assert fine.emission is not None and fine.emission.shape == (5, 3)
+        em = np.asarray(fine.emission)
+        assert (em >= 0).all() and np.isfinite(em).all()
+        # surface render includes the composited emission on top of the
+        # reflection term (emission >= 0, so surf_rgb - emission is the
+        # reflection the reference formulation computes)
+        assert np.isfinite(np.asarray(fine.surf_rgb)).all()
+        # the kernel topology gate refuses the 8-channel head
+        assert not model._kernel_topology_ok()
+        # sparsity term appears in the loss parts and the grads are finite
+        hp = {"loss.coarse_loss_mult": 0.1, "loss.surface_loss": 1.0,
+              "loss.chrom_loss": 0.1, "loss.ort_loss": 0.1,
+              "loss.emission_sparsity": 0.01}
+        rgbs = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (5, 3)))
+
+        def loss_fn(p):
+            o = model(p, k, rays, envrays, randomized=True,
+                      white_bkgd=False, enable_surf=True, use_ort_loss=True)
+            parts = losses_lib.pano_losses(o, rgbs, jnp.ones((5, 1)), hp,
+                                           enable_surf=True)
+            return parts["loss"], parts
+
+        (loss, parts), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        assert np.isfinite(float(loss))
+        assert parts["emission"] is not None and float(parts["emission"]) > 0
+        g = jax.tree.leaves(grads)
+        assert all(np.isfinite(np.asarray(x)).all() for x in g)
+        # the emission columns of the density head receive gradient
+        g_em = np.asarray(grads["params"]["density"]["kernel"][:, 5:8])
+        assert np.abs(g_em).max() > 0
+        # default-off: no emission field
+        base = PanoMipNeRF(num_samples=8, num_env_samples=4,
+                           compute_dtype=jnp.float32)
+        bp = base.init(jax.random.PRNGKey(0))
+        assert base(bp, k, rays, envrays, randomized=True, white_bkgd=False,
+                    enable_surf=True, use_ort_loss=False)[-1].emission is None
+        # from_hparams channel policy
+        assert PanoMipNeRF.from_hparams(
+            {**_minimal_nerf_hparams(), "nerf.emissive_head": True}
+        ).mlp_num_density_channels == 8
 
     def test_outputs_finite(self, pano, envrays):
         model, params = pano
