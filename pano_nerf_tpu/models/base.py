@@ -205,6 +205,12 @@ class BaseNeRF:
     # Requires normals_impl="explicit"; Pallas kernels fall back to XLA
     # (the kernels are specialized to the 5-channel head).
     emissive_head: bool = False
+    # Softplus bias of the emission activation: a fresh head emits
+    # softplus(bias) everywhere (-3 -> 0.049, -6 -> 0.0025). The floor is
+    # visible through the tonemap on dark pixels until the sparsity prior
+    # works it off, so scenes with large dark regions may prefer a more
+    # negative bias.
+    emission_bias: float = -3.0
     # Eval-time FLOP cut (first-order calls only; 0 = same as training).
     # The fine level is the one that carries the metrics, and the coarse
     # CDF already concentrates its resampled positions where density
@@ -296,6 +302,7 @@ class BaseNeRF:
             eval_env_samples=int(hparams.get("val.env_samples", 0)),
             point_normals=bool(hparams.get("nerf.point_normals", False)),
             emissive_head=bool(hparams.get("nerf.emissive_head", False)),
+            emission_bias=float(hparams.get("nerf.emission_bias", -3.0)),
         )
         kw.update(overrides)
         return cls(**kw)

@@ -55,11 +55,12 @@ class PanoMipNeRF(BaseNeRF):
 
     def _split_emission(self, raw_density: jax.Array):
         """Per-sample view-independent self-emission [..., 3] (HDR radiance,
-        softplus with a -3 bias so a fresh head emits ~0.05), or None when
-        the emissive decomposition is off (see BaseNeRF.emissive_head)."""
+        softplus biased by `emission_bias` so a fresh head emits
+        softplus(bias)), or None when the emissive decomposition is off
+        (see BaseNeRF.emissive_head)."""
         if not self.emissive_head:
             return None
-        return jax.nn.softplus(raw_density[..., 5:8] - 3.0)
+        return jax.nn.softplus(raw_density[..., 5:8] + self.emission_bias)
 
     def _importance_dirs(self, k_env, make_graph, surf_origins, normal,
                          env_rays):

@@ -177,6 +177,13 @@ VARIANTS = {
     # per-sample normal chain may no longer be what stabilizes HDR — and
     # pnorm is +45% train throughput (NOTES.md round-3 pnorm study).
     "em_pn": {"nerf.emissive_head": True, "nerf.point_normals": True},
+    # LDR-cost diagnosis (first em round measured HDR +2.9 BEST-EVER
+    # stability but LDR -3.3 dB): is the cost the fresh-head emission
+    # floor (softplus(-3)=0.049 radiance glows through the tonemap on
+    # dark pixels) or under-sparsity (emission absorbing texture)?
+    "em_b6": {"nerf.emissive_head": True, "nerf.emission_bias": -6.0},
+    "em_b6s1": {"nerf.emissive_head": True, "nerf.emission_bias": -6.0,
+                "loss.emission_sparsity": 0.1},
 }
 
 

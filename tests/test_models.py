@@ -274,9 +274,15 @@ class TestForward:
         assert base(bp, k, rays, envrays, randomized=True, white_bkgd=False,
                     enable_surf=True, use_ort_loss=False)[-1].emission is None
         # from_hparams channel policy
-        assert PanoMipNeRF.from_hparams(
-            {**_minimal_nerf_hparams(), "nerf.emissive_head": True}
-        ).mlp_num_density_channels == 8
+        m8 = PanoMipNeRF.from_hparams(
+            {**_minimal_nerf_hparams(), "nerf.emissive_head": True,
+             "nerf.emission_bias": -6.0})
+        assert m8.mlp_num_density_channels == 8
+        assert m8.emission_bias == -6.0
+        # a fresh head emits softplus(bias)
+        np.testing.assert_allclose(
+            np.asarray(m8._split_emission(jnp.zeros((2, 8)))),
+            np.log1p(np.exp(-6.0)), rtol=1e-5)
 
     def test_outputs_finite(self, pano, envrays):
         model, params = pano
