@@ -1,34 +1,32 @@
 """Procedural panoramic scene generator (Replica-style data without Replica).
 
-Renders an analytic Lambertian box room — emissive ceiling patch, per-face
+Renders an analytic Lambertian box room — emissive patches, per-face
 procedurally varying albedo, exact depth and normals — into the on-disk
 format the reference consumes (EXR quads + transforms_all.json,
 /root/reference/datasets/pano_datasets.py:49-131). Radiance is a pure
 function of the 3-D hit point, so multi-view supervision is consistent and a
 radiance field can actually fit it: this powers end-to-end training tests and
 the benchmark workload when the Replica `bathroom_0` scene is not on disk.
+
+Scenes are parameterized by `SceneSpec` (box extents, emitter patches on any
+face); the default spec reproduces the original single-ceiling-emitter
+box-room bitwise, and `SCENE_VARIANTS` ships alternates for quality-recipe
+generality studies (NOTES.md).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
-from typing import Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 
 from pano_nerf_tpu.data.io_exr import write_exr
 from pano_nerf_tpu.data.pano_dataset import bld_to_wd, equirect_camera_dirs
 
-# Box half-extents (y is up) and the emissive ceiling patch. The emitter is
-# deliberately large and moderately bright: a tiny very-bright source makes
-# the K-direction irradiance estimator ill-conditioned (directions miss it),
-# which destabilizes HDR recovery for this scene in the reference
-# formulation and ours alike.
-BOX = np.array([2.0, 1.5, 2.5], dtype=np.float64)
-LIGHT_XZ = 1.3
-LIGHT_RADIANCE = np.array([9.0, 8.4, 7.2])
-
+# Face order: [-x, +x, -y, +y, -z, +z] (y is up; face 3 is the ceiling).
 _FACE_NORMALS = np.array([
     [-1, 0, 0], [1, 0, 0], [0, -1, 0], [0, 1, 0], [0, 0, -1], [0, 0, 1],
 ], dtype=np.float64)
@@ -38,7 +36,66 @@ _FACE_BASE_ALBEDO = np.array([
 ])
 
 
-def _intersect_box(origins: np.ndarray, dirs: np.ndarray
+@dataclasses.dataclass(frozen=True)
+class Emitter:
+    """A square emissive patch on a box face.
+
+    `center` are the coordinates on the face's two tangent axes (the
+    non-face axes in ascending axis order); `half` is the patch half-extent;
+    `radiance` the emitted HDR radiance. The default scene's emitter is
+    deliberately large and moderately bright: a tiny very-bright source
+    makes the K-direction irradiance estimator ill-conditioned (directions
+    miss it), which destabilizes HDR recovery for this scene in the
+    reference formulation and ours alike.
+    """
+    face: int = 3
+    center: Tuple[float, float] = (0.0, 0.0)
+    half: float = 1.3
+    radiance: Tuple[float, float, float] = (9.0, 8.4, 7.2)
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneSpec:
+    """Analytic box-room description (half-extents + emissive patches)."""
+    box: Tuple[float, float, float] = (2.0, 1.5, 2.5)
+    emitters: Tuple[Emitter, ...] = (Emitter(),)
+
+
+# Default box half-extents, importable for geometry assertions.
+BOX = np.array(SceneSpec().box, dtype=np.float64)
+
+
+# The original box room (kept as the default everywhere: benchmarks,
+# tests, and the quality anchors in NOTES.md/BASELINE.md are measured on
+# it) plus alternates for recipe-generality studies.
+SCENE_VARIANTS = {
+    "default": SceneSpec(),
+    # Harder HDR geometry: a smaller, brighter, strongly color-ordered
+    # WALL emitter (secondary rays reach it at grazing angles from the
+    # floor) plus a dim ceiling patch — tests that the shipped HDR recipe
+    # generalizes beyond the scene its defaults were tuned on.
+    "wall": SceneSpec(emitters=(
+        Emitter(face=0, center=(0.2, 0.6), half=0.7,
+                radiance=(11.0, 7.5, 5.0)),
+        Emitter(face=3, center=(-0.6, -0.8), half=0.5,
+                radiance=(2.5, 2.8, 3.2)),
+    )),
+}
+
+
+def _face_point(spec: SceneSpec, e: Emitter) -> np.ndarray:
+    """3-D center of an emitter patch on its face."""
+    axis = e.face // 2
+    sign = 1.0 if e.face % 2 else -1.0
+    oth = [a for a in range(3) if a != axis]
+    c = np.zeros(3)
+    c[axis] = sign * spec.box[axis]
+    c[oth[0]], c[oth[1]] = e.center
+    return c
+
+
+def _intersect_box(origins: np.ndarray, dirs: np.ndarray,
+                   box: np.ndarray
                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Ray/box-interior intersection.
 
@@ -54,14 +111,14 @@ def _intersect_box(origins: np.ndarray, dirs: np.ndarray
         for sign, f in ((-1.0, 2 * axis), (1.0, 2 * axis + 1)):
             denom = dirs[:, axis]
             with np.errstate(divide="ignore", invalid="ignore"):
-                t = (sign * BOX[axis] - origins[:, axis]) / denom
+                t = (sign * box[axis] - origins[:, axis]) / denom
             valid = (t > 1e-6) & np.isfinite(t) & (t < t_best)
             if not valid.any():
                 continue
             p = origins[valid] + t[valid, None] * dirs[valid]
             oth = [a for a in range(3) if a != axis]
-            inside = ((np.abs(p[:, oth[0]]) <= BOX[oth[0]] + 1e-9)
-                      & (np.abs(p[:, oth[1]]) <= BOX[oth[1]] + 1e-9))
+            inside = ((np.abs(p[:, oth[0]]) <= box[oth[0]] + 1e-9)
+                      & (np.abs(p[:, oth[1]]) <= box[oth[1]] + 1e-9))
             idx = np.where(valid)[0][inside]
             t_best[idx] = t[idx]
             face[idx] = f
@@ -78,48 +135,60 @@ def _albedo_at(pts: np.ndarray, face: np.ndarray) -> np.ndarray:
     return np.clip(alb, 0.05, 0.8)
 
 
-def _is_light(pts: np.ndarray, face: np.ndarray) -> np.ndarray:
-    return ((face == 3) & (np.abs(pts[:, 0]) < LIGHT_XZ)
-            & (np.abs(pts[:, 2]) < LIGHT_XZ))
+def _emitter_mask(spec: SceneSpec, e: Emitter, pts: np.ndarray,
+                  face: np.ndarray) -> np.ndarray:
+    axis = e.face // 2
+    oth = [a for a in range(3) if a != axis]
+    return ((face == e.face)
+            & (np.abs(pts[:, oth[0]] - e.center[0]) < e.half)
+            & (np.abs(pts[:, oth[1]] - e.center[1]) < e.half))
 
 
-def _irradiance_at(pts: np.ndarray, normals: np.ndarray) -> np.ndarray:
-    """Approximate irradiance from the ceiling patch + ambient bounce.
+def _irradiance_at(spec: SceneSpec, pts: np.ndarray, normals: np.ndarray
+                   ) -> np.ndarray:
+    """Approximate irradiance from the emissive patches + ambient bounce.
 
-    Point-source approximation of the patch (center c, area A): E =
+    Point-source approximation of each patch (center c, area A): E =
     L * A * cos(theta_r) * cos(theta_l) / d^2, plus a constant ambient term —
     smooth, positive, view-independent.
     """
-    c = np.array([0.0, BOX[1], 0.0])
-    area = (2 * LIGHT_XZ) ** 2
-    v = c - pts
-    d2 = np.sum(v * v, axis=-1) + 1e-6
-    lv = v / np.sqrt(d2)[:, None]
-    cos_r = np.clip(np.sum(normals * lv, axis=-1), 0.0, None)
-    cos_l = np.clip(-lv[:, 1] * -1.0, 0.0, None)  # patch normal is -y (down)
-    mean_L = LIGHT_RADIANCE.mean()
-    direct = mean_L * area * cos_r * cos_l / d2
-    ambient = 0.35 * mean_L * area / 20.0
-    return (direct + ambient)[:, None] * (LIGHT_RADIANCE / mean_L)
+    total = np.zeros((pts.shape[0], 3))
+    for e in spec.emitters:
+        c = _face_point(spec, e)
+        n_e = -_FACE_NORMALS[e.face]          # inward patch normal
+        rad = np.asarray(e.radiance, dtype=np.float64)
+        area = (2 * e.half) ** 2
+        v = c - pts
+        d2 = np.sum(v * v, axis=-1) + 1e-6
+        lv = v / np.sqrt(d2)[:, None]
+        cos_r = np.clip(np.sum(normals * lv, axis=-1), 0.0, None)
+        cos_l = np.clip(np.sum(-lv * n_e, axis=-1), 0.0, None)
+        mean_L = rad.mean()
+        direct = mean_L * area * cos_r * cos_l / d2
+        ambient = 0.35 * mean_L * area / 20.0
+        total = total + (direct + ambient)[:, None] * (rad / mean_L)
+    return total
 
 
-def render_pano(origin: np.ndarray, height: int, width: int):
+def render_pano(origin: np.ndarray, height: int, width: int,
+                spec: SceneSpec = SceneSpec()):
     """Render one panorama quad set from a camera at `origin` (world, y-up).
 
     Returns dict of float32 arrays: image [H,W,3] HDR, albedo [H,W,3],
     normal [H,W,3] in [0,1] encoding, depth [H,W,1].
     """
+    box = np.asarray(spec.box, dtype=np.float64)
     dirs, _ = equirect_camera_dirs(height, width)
     dirs = dirs.reshape(-1, 3).astype(np.float64)
     origins = np.broadcast_to(origin, dirs.shape)
-    t, pts, face = _intersect_box(origins, dirs)
+    t, pts, face = _intersect_box(origins, dirs, box)
     normals = _FACE_NORMALS[face] * -1.0  # inward-facing
     albedo = _albedo_at(pts, face)
-    lit = _is_light(pts, face)
 
-    irr = _irradiance_at(pts, normals)
+    irr = _irradiance_at(spec, pts, normals)
     radiance = albedo / np.pi * irr
-    radiance[lit] = LIGHT_RADIANCE
+    for e in spec.emitters:
+        radiance[_emitter_mask(spec, e, pts, face)] = e.radiance
 
     out = {
         "image": radiance.reshape(height, width, 3),
@@ -131,13 +200,17 @@ def render_pano(origin: np.ndarray, height: int, width: int):
 
 
 def generate_scene(out_dir: str, n_views: int = 6, height: int = 64,
-                   width: int = 128, seed: int = 0, factor: int = 1) -> dict:
+                   width: int = 128, seed: int = 0, factor: int = 1,
+                   variant: str | SceneSpec = "default") -> dict:
     """Write a synthetic scene in the reference's on-disk layout.
 
     `height`/`width` are the stored resolution; pass the matching
     `factor` to PanoDataset (files are stored at the requested size, so use
-    factor=1 unless you want extra downsampling).
+    factor=1 unless you want extra downsampling). `variant` selects a
+    SCENE_VARIANTS entry (or pass a SceneSpec directly).
     """
+    spec = (SCENE_VARIANTS[variant] if isinstance(variant, str)
+            else variant)
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     meta = {m: [] for m in ("image", "albedo", "normal", "depth")}
@@ -145,7 +218,7 @@ def generate_scene(out_dir: str, n_views: int = 6, height: int = 64,
     b2w = bld_to_wd()
     for i in range(n_views):
         origin = rng.uniform(-0.5, 0.5, 3) * np.array([1.0, 0.6, 1.0])
-        quads = render_pano(origin, height, width)
+        quads = render_pano(origin, height, width, spec)
         # The loader reconstructs origin as translate @ bld_to_wd()
         # (pano_datasets.py:96-97); store the pre-image of that map.
         translate = origin @ np.linalg.inv(b2w)

@@ -297,6 +297,8 @@ class PanoNeRFSystem(BaseSystem):
                     out.update(albedo=f.albedo,
                                roughness=f.roughness[..., None],
                                surf_rgb=f.surf_rgb, shading=f.shading)
+                    if f.emission is not None:
+                        out["emission"] = f.emission
                 return out
 
             n = rays.origins.shape[0]

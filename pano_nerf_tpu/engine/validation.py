@@ -109,3 +109,9 @@ def save_validation_products(products: Dict[str, np.ndarray],
     if products.get("albedo") is not None:
         save_results(products["albedo"],
                      save_dir / "pred_albedo" / f"{index:03d}.png")
+    if products.get("emission") is not None:
+        # Emissive-surface decomposition (nerf.emissive_head): the
+        # composited self-emission, HDR — lets users inspect what the
+        # decomposition attributes to sources vs reflection.
+        save_results(products["emission"],
+                     save_dir / "pred_emission" / f"{index:03d}.exr")

@@ -266,13 +266,16 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--height", type=int, default=128)
     ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--scene_variant", default="default",
+                    help="SCENE_VARIANTS entry (data/synthetic.py) — e.g. "
+                         "'wall' for the recipe-generality scene")
     args = ap.parse_args()
 
     scene = os.path.join(args.out, "scene")
     if not os.path.exists(os.path.join(scene, "transforms_all.json")):
         from pano_nerf_tpu.data.synthetic import generate_scene
         generate_scene(scene, n_views=6, height=args.height,
-                       width=args.width)
+                       width=args.width, variant=args.scene_variant)
 
     results = []
     for name in args.variants:

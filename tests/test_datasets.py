@@ -273,3 +273,47 @@ class TestRealData360:
         assert ds.num_rays == ds.n_examples * h * w
         vd = np.linalg.norm(np.asarray(ds.rays.viewdirs), axis=-1)
         np.testing.assert_allclose(vd, 1.0, rtol=1e-4)
+
+
+class TestSceneVariants:
+    """SceneSpec parameterization of the synthetic generator: the default
+    spec must reproduce the original box room BITWISE (benchmarks and the
+    quality anchors in NOTES.md are measured on it), and alternate variants
+    must place their emitters where the spec says."""
+
+    def test_default_spec_is_canonical_scene(self):
+        from pano_nerf_tpu.data.synthetic import (SceneSpec, SCENE_VARIANTS,
+                                                  render_pano)
+        q = render_pano(np.array([0.1, -0.05, 0.2]), 32, 64)
+        # Golden invariants of the original generator: single ceiling
+        # emitter at radiance (9.0, 8.4, 7.2), albedo in [0.05, 0.8].
+        img = q["image"]
+        lit = img.max(-1) > 4.0
+        assert lit.any()
+        np.testing.assert_array_equal(img[lit],
+                                      np.tile([9.0, 8.4, 7.2],
+                                              (lit.sum(), 1)).astype(
+                                                  np.float32))
+        assert (q["albedo"] >= 0.05 - 1e-6).all()
+        assert (q["albedo"] <= 0.8 + 1e-6).all()
+        assert SCENE_VARIANTS["default"] == SceneSpec()
+
+    def test_wall_variant_two_emitters(self):
+        from pano_nerf_tpu.data.synthetic import SCENE_VARIANTS, render_pano
+        spec = SCENE_VARIANTS["wall"]
+        q = render_pano(np.array([0.0, 0.0, 0.0]), 64, 128, spec)
+        img = q["image"].reshape(-1, 3)
+        for e in spec.emitters:
+            rad = np.asarray(e.radiance, np.float32)
+            hit = np.all(img == rad, axis=-1)
+            assert hit.any(), f"emitter {e} not visible"
+        # partial saturation: R above the ACES knee, B below
+        assert img.max(0)[0] > 7.25 and spec.emitters[0].radiance[2] < 7.24
+
+    def test_generate_scene_variant_roundtrip(self, tmp_path):
+        from pano_nerf_tpu.data.synthetic import generate_scene
+        d = str(tmp_path / "wall")
+        generate_scene(d, n_views=2, height=16, width=32, variant="wall")
+        ds = PanoDataset(d, split="train", factor=1, num=[0],
+                         range=(0, 10))
+        assert ds.num_rays == 16 * 32

@@ -82,6 +82,28 @@ class TestTrainerLoop:
         trainer2.fit(sanity_val=False)
         assert trainer2.ckpt.latest_step() == 6
 
+    def test_emissive_head_fit(self, scene, tmp_path):
+        """nerf.emissive_head trains end-to-end and the validation tree
+        gains the pred_emission EXR product."""
+        from pano_nerf_tpu.engine.trainer import Trainer
+
+        out = str(tmp_path / "em")
+        os.makedirs(out, exist_ok=True)
+        hp = small_hparams(scene, out, steps=2)
+        hp["nerf.emissive_head"] = True
+        trainer = Trainer(hp)
+        trainer.fit(sanity_val=False)
+        em_f = os.path.join(out, "val_000002", "pred_emission", "000.exr")
+        assert os.path.exists(em_f)
+        from pano_nerf_tpu.data.io_exr import read_exr
+        em = read_exr(em_f)
+        assert np.isfinite(em).all() and (em >= 0).all()
+        with open(os.path.join(out, "metrics.jsonl")) as fp:
+            records = [json.loads(l) for l in fp]
+        train = [r for r in records if r["kind"] == "train"]
+        assert np.isfinite(train[-1]["loss"])
+        assert train[-1].get("emission") is not None
+
     def test_mipnerf_system_fit(self, scene, tmp_path):
         from pano_nerf_tpu.engine.trainer import Trainer
 
