@@ -182,6 +182,10 @@ VARIANTS = {
     # floor (softplus(-3)=0.049 radiance glows through the tonemap on
     # dark pixels) or under-sparsity (emission absorbing texture)?
     "em_b6": {"nerf.emissive_head": True, "nerf.emission_bias": -6.0},
+    # Float-LDR GT (no 8-bit quantization): restores the sub-LSB
+    # restoring gradient for quasi-saturated channels — the measured
+    # channel-structure drift mechanism on the wall scene.
+    "noq": {"loss.gt_quantize": False},
     "em_b6s1": {"nerf.emissive_head": True, "nerf.emission_bias": -6.0,
                 "loss.emission_sparsity": 0.1},
 }

@@ -201,3 +201,31 @@ class TestStabilizerLosses:
         # Below the knee both paths are bitwise identical.
         np.testing.assert_allclose(float(loss_of(3.0, hp_on)),
                                    float(loss_of(3.0, hp_off)), rtol=0)
+
+    def test_gt_quantize_knob(self):
+        """loss.gt_quantize=False keeps float LDR GT: a quasi-saturated
+        channel (radiance 5 tonemaps within one LSB of white) regains its
+        sub-LSB restoring gradient — the measured channel-drift mechanism
+        on partially-saturating emitters (NOTES.md round-3 generality
+        study). Default True = reference's 8-bit quantization."""
+        gt = jnp.full((2, 3), 5.0)   # quasi-saturated: LDR 253/255
+        hp = dict(HP_PROD, **{"loss.saturation_loss": 0,
+                              "loss.distortion_loss": 0})
+
+        def loss_of(pred_val, hp):
+            pred = jnp.full((2, 3), pred_val)
+            outs = [level(pred), level(pred, ort_loss=None)]
+            return pano_losses(outs, gt, jnp.ones((2, 1)), hp,
+                               enable_surf=False)["loss"]
+
+        # exact GT radiance: float-LDR loss is ~0, quantized is biased
+        l_q = float(loss_of(5.0, hp))
+        l_f = float(loss_of(5.0, dict(hp, **{"loss.gt_quantize": False})))
+        assert l_f < l_q
+        assert l_f < 1e-10
+        # far from saturation the two are one quantization step apart and
+        # both keep a healthy gradient
+        import jax
+        g_f = float(jax.grad(loss_of)(
+            7.0, dict(hp, **{"loss.gt_quantize": False})))
+        assert g_f > 0
