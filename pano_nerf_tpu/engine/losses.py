@@ -103,13 +103,12 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
     Returns dict with 'loss' plus each component for logging.
     """
     coarse, fine = outputs[0], outputs[-1]
-    # GT quantization (reference: 8-bit, panonerf_system.py:17) is a knob:
-    # a channel whose radiance tonemaps within one LSB of saturation
-    # (e.g. radiance 5 -> LDR 253/255) quantizes to a value the prediction
-    # can match from a whole interval of radiances, erasing the restoring
-    # gradient — measured channel-structure drift on partially-saturating
-    # emitters (NOTES.md round-3 generality study). Float-LDR captures can
-    # disable it to keep the sub-LSB constraint.
+    # GT quantization (reference: 8-bit, panonerf_system.py:17) is a knob
+    # for float-LDR captures / ablation. NOTE the 44k wall-scene probe
+    # measured quantize=False NOT fixing quasi-saturated channel drift:
+    # the ACES slope near the knee (~2e-3/unit radiance at radiance 5) —
+    # not the quantizer — is what erases the restoring gradient
+    # (NOTES.md round-3 generality study, noq variant).
     ldr_gt = hdr_to_ldr(rgbs_gt,
                         quantize=bool(hparams.get("loss.gt_quantize", True)))
 

@@ -182,9 +182,11 @@ VARIANTS = {
     # floor (softplus(-3)=0.049 radiance glows through the tonemap on
     # dark pixels) or under-sparsity (emission absorbing texture)?
     "em_b6": {"nerf.emissive_head": True, "nerf.emission_bias": -6.0},
-    # Float-LDR GT (no 8-bit quantization): restores the sub-LSB
-    # restoring gradient for quasi-saturated channels — the measured
-    # channel-structure drift mechanism on the wall scene.
+    # Float-LDR GT (no 8-bit quantization): probe whether the quasi-
+    # saturated channel drift on the wall scene is quantization-limited.
+    # MEASURED NO (44k wall): B 8.89 vs prod 7.77 (GT 5.0), HDR -0.82
+    # vs +1.38 — the ACES slope near the knee, not the quantizer, kills
+    # the restoring gradient (NOTES.md).
     "noq": {"loss.gt_quantize": False},
     "em_b6s1": {"nerf.emissive_head": True, "nerf.emission_bias": -6.0,
                 "loss.emission_sparsity": 0.1},
