@@ -84,15 +84,20 @@ class Trainer:
         with open(self.metrics_path, "a") as fp:
             fp.write(json.dumps(record) + "\n")
 
-    def validate(self, state, step: int, max_images: Optional[int] = None
-                 ) -> Dict[str, float]:
-        """Render every val pano, save products, return mean metrics."""
+    def validate(self, state, step: int, max_images: Optional[int] = None,
+                 tag: str = "val") -> Dict[str, float]:
+        """Render every val pano, save products, return mean metrics.
+
+        `tag` names the product directory (`<tag>_<step>/`) and the metrics
+        `kind` — the standalone scripts/eval.py passes "eval" so offline
+        re-evaluations never collide with the training run's own val trees.
+        """
         if self._render_fn is None:
             self._render_fn = self.system.make_render_image(
                 enable_surf=isinstance(self.system, PanoNeRFSystem))
         render_fn = self._render_fn
         near, far = self.hparams["range"]
-        save_dir = os.path.join(self.save_dir, f"val_{step:06d}")
+        save_dir = os.path.join(self.save_dir, f"{tag}_{step:06d}")
         agg: Dict[str, list] = {}
         n = len(self.val_dataset)
         if max_images is not None:
@@ -109,11 +114,11 @@ class Trainer:
             for k, v in m.items():
                 agg.setdefault(k, []).append(v)
         means = {k: float(np.mean(v)) for k, v in agg.items()}
-        means.update(step=step, kind="val")
+        means.update(step=step, kind=tag)
         self._log(means)
         keys = ("psnr_hdr_vol", "psnr_ldr_vol", "ssim_ldr_vol")
         shown = ", ".join(f"{k}={means[k]:.3f}" for k in keys if k in means)
-        print(f"[val @ {step}] {shown}")
+        print(f"[{tag} @ {step}] {shown}")
         return means
 
     # ------------------------------------------------------------------

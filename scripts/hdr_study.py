@@ -190,6 +190,14 @@ VARIANTS = {
     "noq": {"loss.gt_quantize": False},
     "em_b6s1": {"nerf.emissive_head": True, "nerf.emission_bias": -6.0,
                 "loss.emission_sparsity": 0.1},
+    # More irradiance directions at the prod recipe: the wall scene's R
+    # channel is under-pulled (7.64 vs GT 11.0) because a small grazing
+    # emitter subtends few of the D=10 Fibonacci directions — round-1
+    # measured D=40 recovering a small emitter to within 11%. ~2.4x env
+    # cost; probes whether channel-structure recovery is direction-
+    # coverage-limited.
+    "d40": {"nerf.num_ray_samples": 40},
+    "d20": {"nerf.num_ray_samples": 20},
 }
 
 

@@ -348,3 +348,47 @@ class TestMultiStepScan:
         # above is the semantic guarantee.
         np.testing.assert_allclose(float(p1["loss"]), float(p3["loss"]),
                                    atol=0.05)
+
+
+class TestEvalScript:
+    def test_eval_cli_after_fit(self, scene, tmp_path, monkeypatch):
+        """scripts/eval.py restores a checkpoint and reproduces the
+        trainer's validation pass offline: eval_<step>/ product tree plus
+        a kind="eval" metrics record, without touching val_<step>/."""
+        import importlib.util
+        import json
+        import sys as _sys
+
+        from pano_nerf_tpu.engine.trainer import Trainer
+
+        out = str(tmp_path / "panonerf_0_1_2")
+        os.makedirs(out, exist_ok=True)
+        hp = small_hparams(scene, out, steps=2)
+        Trainer(hp).fit(sanity_val=False)
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        argv = ["eval.py", "--data_path", scene, "--ckpt_dir", out,
+                "--config", os.path.join(root, "configs", "panonerf.yaml"),
+                "--max_images", "1",
+                "train.factor", "1", "val.factor", "1",
+                "train.sample_num", "'n0_1_2'",
+                "train.batch_size", "32", "train.precision", "f32",
+                "nerf.num_samples", "4", "nerf.num_env_samples", "2",
+                "nerf.num_ray_samples", "2", "optimizer.max_steps", "2",
+                "val.check_every_n_epoch", "1000000",
+                "val.chunk_size", "128", "parallel.num_devices", "2"]
+        monkeypatch.setattr(_sys, "argv", argv)
+        spec = importlib.util.spec_from_file_location(
+            "eval_script", os.path.join(root, "scripts", "eval.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+
+        eval_dir = os.path.join(out, "eval_000002")
+        assert os.path.isdir(os.path.join(eval_dir, "pred_hdr"))
+        assert os.path.isdir(os.path.join(eval_dir, "gt_hdr"))
+        records = [json.loads(line)
+                   for line in open(os.path.join(out, "metrics.jsonl"))]
+        evals = [r for r in records if r.get("kind") == "eval"]
+        assert len(evals) == 1 and evals[0]["step"] == 2
+        assert "psnr_hdr_vol" in evals[0] and "psnr_ldr_vol" in evals[0]
