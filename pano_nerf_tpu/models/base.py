@@ -64,10 +64,12 @@ class BaseNeRF:
     """
     num_samples: int = 64
     # Coarse-level sample count override (0 = num_samples, the reference's
-    # symmetric 64/64). The coarse level only guides the fine resampler's
+    # symmetric default). The coarse level only guides the fine resampler's
     # CDF and carries a 0.1-weight loss, so it tolerates a shorter march
-    # than the fine level that carries the metrics — a training FLOP diet
-    # knob (quality validated per scene: scripts/hdr_study.py variants).
+    # than the fine level that carries the metrics. NOTE: the round-3
+    # FLOP-diet frontier (NOTES.md) was measured with JOINT cuts (shrink
+    # num_samples itself — both levels); this coarse-only knob's quality
+    # is not gated by those runs.
     num_coarse_samples: int = 0
     num_levels: int = 2
     resample_padding: float = 0.01
@@ -557,13 +559,20 @@ class BaseNeRF:
                 key, rays.origins, rays.directions, rays.radii,
                 n, rays.near, rays.far, randomized,
                 self.disparity)
+        # Fine count is ALWAYS num_samples (the documented coarse-only-cut
+        # semantics) unless the eval override asks for fewer: passing it
+        # explicitly decouples the resampled count from the coarse edge
+        # count (resample_along_rays' None default follows
+        # t_samples.shape[-1], which would silently propagate a
+        # num_coarse_samples cut into the fine march). Bitwise identical
+        # when the coarse count equals num_samples.
         return mip.resample_along_rays(
             key, rays.origins, rays.directions, rays.radii, t_samples,
             weights, randomized, self.stop_resample_grad,
             self.resample_padding,
             num_samples=(self.eval_fine_samples
                          if eval_counts and self.eval_fine_samples
-                         else None))
+                         else self.num_samples))
 
     def _env_samples(self, eval_counts: bool) -> int:
         """Samples per secondary (irradiance) env ray; `eval_counts=True`

@@ -106,14 +106,17 @@ VARIANTS = {
                "loss.saturation_loss": 0.001},
     "vc01s0": {"nerf.env_sampling": "fixed", "loss.view_consistency": 0.1,
                "loss.saturation_loss": 0.0},
-    # Training FLOP-diet quality probes (round 3): shorter coarse march
-    # (the coarse level only guides the resampler CDF + a 0.1-weight loss)
+    # Training FLOP-diet quality probes (round 3): shorter ray march
     # and/or fewer samples per secondary env ray. Quality gates the
-    # production adoption of the faster operating point.
+    # production adoption of the faster operating point. NOTE: the "cN"
+    # names are historical — those runs executed N coarse + N fine
+    # samples (the old num_coarse_samples knob leaked the cut into the
+    # fine resampler); under the corrected knob semantics the SAME
+    # computation is num_samples=N, which is what these now set.
     "vc01s1c32": {"nerf.env_sampling": "fixed",
                   "loss.view_consistency": 0.1,
                   "loss.saturation_loss": 0.001,
-                  "nerf.num_coarse_samples": 32},
+                  "nerf.num_samples": 32},
     "vc01s1e5": {"nerf.env_sampling": "fixed",
                  "loss.view_consistency": 0.1,
                  "loss.saturation_loss": 0.001,
@@ -121,7 +124,7 @@ VARIANTS = {
     "vc01s1c32e5": {"nerf.env_sampling": "fixed",
                     "loss.view_consistency": 0.1,
                     "loss.saturation_loss": 0.001,
-                    "nerf.num_coarse_samples": 32,
+                    "nerf.num_samples": 32,
                     "nerf.num_env_samples": 5},
     # Diet isolation at the beyond-knee recipe (vc 0.1, sat 0): which knob
     # pays the measured -1.6 dB LDR of the combined diet — the coarse CDF
@@ -129,7 +132,7 @@ VARIANTS = {
     "vc01s0c32": {"nerf.env_sampling": "fixed",
                   "loss.view_consistency": 0.1,
                   "loss.saturation_loss": 0.0,
-                  "nerf.num_coarse_samples": 32},
+                  "nerf.num_samples": 32},
     "vc01s0e5": {"nerf.env_sampling": "fixed",
                  "loss.view_consistency": 0.1,
                  "loss.saturation_loss": 0.0,
@@ -137,13 +140,13 @@ VARIANTS = {
     "vc01s0c48": {"nerf.env_sampling": "fixed",
                   "loss.view_consistency": 0.1,
                   "loss.saturation_loss": 0.0,
-                  "nerf.num_coarse_samples": 48},
+                  "nerf.num_samples": 48},
     # Gentler coarse cut (the round-3 production-default candidate: +5%
     # rays/s; c48's +27% measurably pins the emitter back AT the knee).
     "vc01s0c56": {"nerf.env_sampling": "fixed",
                   "loss.view_consistency": 0.1,
                   "loss.saturation_loss": 0.0,
-                  "nerf.num_coarse_samples": 56},
+                  "nerf.num_samples": 56},
     # Point-normals (round-3): ONE density-gradient query at the per-ray
     # expected Gaussian instead of the per-sample chain (+~90% train
     # rays/s). Semantics: -grad sigma(E[x]) vs E[-grad sigma(x_i)].
@@ -160,7 +163,7 @@ VARIANTS = {
     "vc01s0c32e5": {"nerf.env_sampling": "fixed",
                     "loss.view_consistency": 0.1,
                     "loss.saturation_loss": 0.0,
-                    "nerf.num_coarse_samples": 32,
+                    "nerf.num_samples": 32,
                     "nerf.num_env_samples": 5},
     # Emissive-surface decomposition (round-3 HDR attack #2): explicit
     # view-independent self-emission channels; surface render becomes

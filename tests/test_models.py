@@ -179,6 +179,16 @@ class TestForward:
             for v in o:
                 if v is not None:
                     assert np.isfinite(np.asarray(v)).all()
+        # The cut must NOT propagate into the fine level: the resampler
+        # draws num_samples fine frustums regardless of the coarse edge
+        # count (regression: the None default followed t_samples.shape[-1],
+        # silently cutting the fine march too).
+        t0, _ = cut._sample_level(k, rays, 0, None, None, randomized=True)
+        assert t0.shape[-1] == 4 + 1
+        w = jnp.ones(t0.shape[:-1] + (4,))
+        t1, (m1, _) = cut._sample_level(k, rays, 1, t0, w, randomized=True)
+        assert t1.shape[-1] == cut.num_samples + 1
+        assert m1.shape[-2] == cut.num_samples
 
     def test_point_normals_mode(self, pano, envrays):
         """point_normals=True: volumetric training outputs are bitwise
