@@ -106,6 +106,28 @@ class BaseSystem:
 
         return wrapper
 
+    def _jit_steps(self, one_step, steps_per_call: int = 1):
+        """jit `one_step`, or a `lax.scan` over `steps_per_call` of it
+        (the multi-step dispatch both systems share). `train.scan_unroll`
+        copies the body inside the while loop: xprof showed ~534 us/step
+        of while-op self-time (inter-iteration scheduling gaps) at
+        unroll=1; unrolling trades compile time (body duplicated) for
+        removing those gaps — measured -2% at the production point, so
+        the default stays 1 (NOTES.md round-3 benchmark deltas)."""
+        if steps_per_call == 1:
+            return self._jit_train(one_step)
+        unroll = int(self.hparams.get("train.scan_unroll", 1))
+
+        def multi_step(state: TrainState, key: jax.Array):
+            def body(st, _):
+                return one_step(st, key)
+            state, parts = jax.lax.scan(body, state, None,
+                                        length=steps_per_call,
+                                        unroll=min(unroll, steps_per_call))
+            return state, jax.tree.map(lambda x: x[-1], parts)
+
+        return self._jit_train(multi_step)
+
     # ----- state ---------------------------------------------------------
 
     def create_state(self, key: jax.Array) -> TrainState:
@@ -247,24 +269,7 @@ class PanoNeRFSystem(BaseSystem):
                 loss_fn, has_aux=True)(state.params)
             return self._apply_updates(state, grads), parts
 
-        if steps_per_call == 1:
-            return self._jit_train(one_step)
-
-        unroll = int(self.hparams.get("train.scan_unroll", 1))
-
-        def multi_step(state: TrainState, key: jax.Array):
-            def body(st, _):
-                return one_step(st, key)
-            # `unroll` copies the body inside the while loop: xprof showed
-            # ~534 us/step of while-op self-time (inter-iteration
-            # scheduling gaps) at unroll=1; unrolling trades compile time
-            # (body duplicated) for removing those gaps.
-            state, parts = jax.lax.scan(body, state, None,
-                                        length=steps_per_call,
-                                        unroll=min(unroll, steps_per_call))
-            return state, jax.tree.map(lambda x: x[-1], parts)
-
-        return self._jit_train(multi_step)
+        return self._jit_steps(one_step, steps_per_call)
 
     def put_dataset_on_device(self, rays, images):
         """Upload the flattened training set once, replicated over the mesh."""
@@ -363,20 +368,7 @@ class MipNeRFSystem(BaseSystem):
                 loss_fn, has_aux=True)(state.params)
             return self._apply_updates(state, grads), parts
 
-        if steps_per_call == 1:
-            return self._jit_train(one_step)
-
-        unroll = int(self.hparams.get("train.scan_unroll", 1))
-
-        def multi_step(state: TrainState, key: jax.Array):
-            def body(st, _):
-                return one_step(st, key)
-            state, parts = jax.lax.scan(body, state, None,
-                                        length=steps_per_call,
-                                        unroll=min(unroll, steps_per_call))
-            return state, jax.tree.map(lambda x: x[-1], parts)
-
-        return self._jit_train(multi_step)
+        return self._jit_steps(one_step, steps_per_call)
 
     put_dataset_on_device = PanoNeRFSystem.put_dataset_on_device
 

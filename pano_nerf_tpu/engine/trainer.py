@@ -22,6 +22,7 @@ import time
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -30,6 +31,17 @@ from pano_nerf_tpu.engine import validation as val_lib
 from pano_nerf_tpu.engine.checkpoint import Checkpointer
 from pano_nerf_tpu.engine.system import PanoNeRFSystem, build_system
 from pano_nerf_tpu.parallel import mesh as mesh_lib
+
+
+@jax.jit
+def _tree_finite_dev(tree):
+    """All-leaves-finite as a single on-device reduction (one readback)."""
+    return jnp.all(jnp.array([jnp.all(jnp.isfinite(x))
+                              for x in jax.tree.leaves(tree)]))
+
+
+def _tree_finite(tree) -> bool:
+    return bool(jax.device_get(_tree_finite_dev(tree)))
 
 
 class Trainer:
@@ -251,12 +263,23 @@ class Trainer:
         t0 = time.perf_counter()
         rays_done = 0
         step = start_step
+        # Profiler window as a one-shot state machine: a NaN rewind can
+        # send `step` back across profile_at while a trace is open —
+        # re-entering start_trace then raises and kills the run recovery
+        # was saving. "pending" -> "active" -> "done", never backwards;
+        # `>=` on the close edge tolerates step jumps. A resume already
+        # past the window never opens it.
+        trace_state = "pending" if start_step <= profile_at else "done"
         while step < self.max_steps:
-            if profile_dir and step == profile_at:
+            if (profile_dir and trace_state == "pending"
+                    and step >= profile_at):
                 jax.profiler.start_trace(profile_dir)
-            if profile_dir and step == profile_at + profile_n:
+                trace_state = "active"
+            if (profile_dir and trace_state == "active"
+                    and step >= profile_at + profile_n):
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
+                trace_state = "done"
                 print(f"[profile] trace written to {profile_dir}")
             surf = steps_with_surface and step >= self.surface_start_step
             if device_data:
@@ -296,12 +319,7 @@ class Trainer:
                     # from sqrt'(0) in the normalize backward at a
                     # zero-density-gradient sample — is fixed at the root
                     # by ops/mip.safe_normalize; see NOTES.md forensics.)
-                    import jax.numpy as jnp
-                    params_finite = bool(jax.device_get(
-                        jax.jit(lambda p: jnp.all(jnp.array(
-                            [jnp.all(jnp.isfinite(x))
-                             for x in jax.tree.leaves(p)])))(state.params)))
-                    if params_finite:
+                    if _tree_finite(state.params):
                         self._log({"step": step, "kind": "nan_false_alarm",
                                    **scalars})
                         print(f"[recover] non-finite loss READING at step "
@@ -309,13 +327,26 @@ class Trainer:
                               f"false alarm, continuing")
                         t0 = time.perf_counter()
                         rays_done = 0
-                        continue
-                    if (nan_failed_step >= 0
-                            and step >= nan_failed_step + 2 * self.val_every):
-                        nan_retry = 0   # real progress past the failure
-                    restored = (self.ckpt.latest_step()
-                                if nan_retry < nan_retries_left else None)
-                    if restored is not None:
+                        # NO `continue`: fall through to the checkpoint/
+                        # validation block below — a false alarm landing on
+                        # a val boundary must not skip the scheduled
+                        # checkpoint (otherwise a later real failure rewinds
+                        # a full val period further than it should).
+                    else:
+                        if (nan_failed_step >= 0 and
+                                step >= nan_failed_step + 2 * self.val_every):
+                            nan_retry = 0   # real progress past the failure
+                        restored = (self.ckpt.latest_step()
+                                    if nan_retry < nan_retries_left else None)
+                        if restored is None:
+                            self._log({"step": step, "kind": "abort",
+                                       "reason": "non-finite loss",
+                                       **scalars})
+                            raise FloatingPointError(
+                                f"non-finite loss at step {step}: {scalars}"
+                                f" — last good checkpoint: "
+                                f"{self.ckpt.latest_step()} in "
+                                f"{self.ckpt.directory}")
                         nan_retry += 1
                         nan_failed_step = step
                         nan_cooldown_until = step + self.log_every
@@ -325,12 +356,7 @@ class Trainer:
                         # hypothesis from the replay forensics).
                         data_finite = None
                         if device_data and dataset is not None:
-                            import jax.numpy as jnp
-                            data_finite = bool(jax.device_get(
-                                jax.jit(lambda t: jnp.all(jnp.array(
-                                    [jnp.all(jnp.isfinite(x))
-                                     for x in jax.tree.leaves(t)])))(
-                                         dataset)))
+                            data_finite = _tree_finite(dataset)
                         self._log({"step": step, "kind": "nan_recovery",
                                    "retry": nan_retry,
                                    "restored_step": restored,
@@ -353,18 +379,13 @@ class Trainer:
                         t0 = time.perf_counter()
                         rays_done = 0
                         continue
-                    self._log({"step": step, "kind": "abort",
-                               "reason": "non-finite loss", **scalars})
-                    raise FloatingPointError(
-                        f"non-finite loss at step {step}: {scalars} — "
-                        f"last good checkpoint: "
-                        f"{self.ckpt.latest_step()} in {self.ckpt.directory}")
-                self._log({"step": step, "kind": "train",
-                           "rays_per_sec": rps, **scalars})
-                print(f"[{step}/{self.max_steps}] "
-                      f"loss={scalars['loss']:.5f} rays/s={rps:,.0f}")
-                t0 = time.perf_counter()
-                rays_done = 0
+                else:
+                    self._log({"step": step, "kind": "train",
+                               "rays_per_sec": rps, **scalars})
+                    print(f"[{step}/{self.max_steps}] "
+                          f"loss={scalars['loss']:.5f} rays/s={rps:,.0f}")
+                    t0 = time.perf_counter()
+                    rays_done = 0
 
             if step % self.val_every == 0 or step == self.max_steps:
                 self.ckpt.save(step, jax.device_get(state), wait=False)

@@ -61,6 +61,14 @@ def run_variant(overrides: dict, batch: int, steps: int, warmup: int = 5,
         # Per-executable XLA overrides (e.g. xla_tpu_scoped_vmem_limit_kib
         # controls the fusion-window budget the round-2 batch-scaling cliff
         # traced to) — forwarded to the backend through AOT lower/compile.
+        # Incompatible with train.scoped_vmem_kib>0 in the hparams: that
+        # knob already AOT-compiles inside _jit_train and returns a plain
+        # wrapper without .lower — pass the limit here instead.
+        if not hasattr(step_fn, "lower"):
+            raise SystemExit(
+                "--compiler_opt cannot combine with train.scoped_vmem_kib>0"
+                " (the step is already AOT-compiled); express the VMEM"
+                " limit as --compiler_opt xla_tpu_scoped_vmem_limit_kib=N")
         step_fn = step_fn.lower(state, key).compile(
             compiler_options=compiler_options)
     for _ in range(warmup):
