@@ -201,6 +201,14 @@ VARIANTS = {
     # coverage-limited.
     "d40": {"nerf.num_ray_samples": 40},
     "d20": {"nerf.num_ray_samples": 20},
+    # Chromaticity-prior ablation: the prior ties albedo chroma to LDR
+    # pixel chroma, but a surface lit by a COLORED emitter looks like the
+    # illuminant in LDR — the prior pushes illuminant chroma into albedo,
+    # potentially canceling exactly the per-channel source signal the
+    # irradiance coupling transmits (the flat-channel mechanism suspect
+    # on the wall scene). 0 = off; reference default 0.1.
+    "chrom0": {"loss.chrom_loss": 0.0},
+    "chrom03": {"loss.chrom_loss": 0.03},
 }
 
 
