@@ -272,6 +272,28 @@ class TestNanRecovery:
         assert [r for r in records if r["kind"] == "nan_false_alarm"]
         assert not [r for r in records if r["kind"] == "nan_recovery"]
         assert trainer.ckpt.latest_step() == 8
+        # The false alarm landed ON a val boundary (step 4, val_every=2):
+        # the scheduled checkpoint/validation must still run (regression:
+        # an early `continue` skipped the block, letting the last-good
+        # checkpoint lag a full val period behind).
+        assert [r for r in records if r["kind"] == "val" and r["step"] == 4]
+
+    def test_profiler_survives_rewind(self, scene, tmp_path):
+        """A NaN rewind across the profiler window must not re-open the
+        trace (start_trace while active raises and would kill the run the
+        recovery was saving)."""
+        out = str(tmp_path / "exp")
+        os.makedirs(out, exist_ok=True)
+        trainer, hp = self._poisoning_trainer(scene, out, steps=8,
+                                              poison_call=4)
+        hp["profile_dir"] = str(tmp_path / "trace")
+        hp["profile_start_step"] = 2
+        hp["profile_steps"] = 4
+        trainer.fit(sanity_val=False)   # old code: double start_trace raises
+        with open(os.path.join(out, "metrics.jsonl")) as fp:
+            records = [json.loads(l) for l in fp]
+        assert [r for r in records if r["kind"] == "nan_recovery"]
+        assert trainer.ckpt.latest_step() == 8
 
     def test_abort_when_disabled(self, scene, tmp_path):
         out = str(tmp_path / "exp")
