@@ -75,8 +75,9 @@ def chromaticity_loss(ldr_gt: Array, albedo: Array) -> Array:
 SATURATION_KNEE = (0.56 + (0.3584) ** 0.5) / 0.16  # ~7.2417
 
 
-def saturation_loss(pred_hdr: Array, ldr_gt: Array, mask: Array) -> Array:
-    """One-sided pull of saturated-GT channels toward the saturation knee.
+def saturation_loss(pred_hdr: Array, ldr_gt: Array, mask: Array,
+                    margin: float = 1.0) -> Array:
+    """One-sided pull of saturated-GT channels toward `margin` x the knee.
 
     A clipped tonemap gives saturated pixels zero gradient, so their HDR
     radiance is unconstrained from above and random-walks upward (the
@@ -85,11 +86,18 @@ def saturation_loss(pred_hdr: Array, ldr_gt: Array, mask: Array) -> Array:
     among all radiances consistent with the observed saturated LDR, prefer
     the smallest — the irradiance (surface) loss, which couples true
     source intensity, can still pull above the knee because the penalty is
-    L1 (constant bounded gradient), not quadratic. No reference
-    counterpart; deviation documented in PARITY.md.
+    L1 (constant bounded gradient), not quadratic.
+
+    `margin > 1` turns the prior into a pure RUNAWAY GUARD: the term (and
+    its gradient) is identically zero until a channel exceeds margin x
+    knee, so any run that stays below the threshold is bitwise unaffected
+    — it only engages in the measured divergence regime (emitter
+    inflating past ~1.6x the knee, NOTES.md wall-scene study) while
+    leaving beyond-knee recovery (healthy runs peak ~1.15x) untouched.
+    No reference counterpart; deviation documented in PARITY.md.
     """
     sat = (ldr_gt >= 1.0).astype(pred_hdr.dtype) * mask
-    excess = jax.nn.relu(pred_hdr - SATURATION_KNEE)
+    excess = jax.nn.relu(pred_hdr - margin * SATURATION_KNEE)
     return jnp.sum(sat * excess) / jnp.maximum(jnp.sum(sat), 1.0)
 
 
@@ -151,7 +159,10 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
         parts["dist"] = dist
     w_sat = float(hparams.get("loss.saturation_loss", 0.0))
     if w_sat > 0:
-        sat = saturation_loss(fine.rgb, ldr_gt, mask)
+        sat = saturation_loss(fine.rgb, ldr_gt, mask,
+                              margin=float(
+                                  hparams.get("loss.saturation_margin",
+                                              1.0)))
         loss = loss + w_sat * sat
         parts["sat"] = sat
     # View-consistency (round-3 HDR attack): symmetric log-space pull

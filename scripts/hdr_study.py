@@ -209,6 +209,13 @@ VARIANTS = {
     # on the wall scene). 0 = off; reference default 0.1.
     "chrom0": {"loss.chrom_loss": 0.0},
     "chrom03": {"loss.chrom_loss": 0.03},
+    # Runaway guard: one-sided pull toward 2x the knee — identically zero
+    # until a channel exceeds it, so healthy runs are bitwise unaffected;
+    # bounds the wall-scene seed-1 divergence (emitter inflating to
+    # 1.6-2.5x knee) without capping beyond-knee recovery.
+    "guard": {"loss.saturation_loss": 0.01, "loss.saturation_margin": 2.0},
+    "guard15": {"loss.saturation_loss": 0.01,
+                "loss.saturation_margin": 1.5},
 }
 
 

@@ -229,3 +229,50 @@ class TestStabilizerLosses:
         g_f = float(jax.grad(loss_of)(
             7.0, dict(hp, **{"loss.gt_quantize": False})))
         assert g_f > 0
+
+
+class TestSaturationMargin:
+    def test_margin_semantics(self):
+        """margin M: the pull is zero (value and gradient) below M*knee,
+        L1 toward M*knee above; margin=1 reproduces the round-2 prior
+        bitwise — so margin 2 is a pure runaway guard that cannot touch a
+        healthy run."""
+        import jax
+
+        from pano_nerf_tpu.engine.losses import (SATURATION_KNEE,
+                                                 saturation_loss)
+        ldr_gt = jnp.ones((2, 3))
+        mask = jnp.ones((2, 1))
+
+        # Beyond-knee but under the guard threshold: identically zero
+        # with exactly-zero gradient (the healthy regime, ~1.15x knee).
+        healthy = jnp.full((2, 3), 1.2 * SATURATION_KNEE)
+        val, grad = jax.value_and_grad(
+            lambda p: saturation_loss(p, ldr_gt, mask, margin=2.0))(healthy)
+        assert float(val) == 0.0
+        assert float(jnp.abs(grad).max()) == 0.0
+
+        # Runaway regime (the measured 2.5x divergence): bounded pull.
+        runaway = jnp.full((2, 3), 2.5 * SATURATION_KNEE)
+        np.testing.assert_allclose(
+            float(saturation_loss(runaway, ldr_gt, mask, margin=2.0)),
+            0.5 * SATURATION_KNEE, rtol=1e-6)
+
+        # margin=1 == the original prior, bitwise.
+        above = jnp.full((2, 3), SATURATION_KNEE + 2.0)
+        np.testing.assert_allclose(
+            float(saturation_loss(above, ldr_gt, mask, margin=1.0)),
+            float(saturation_loss(above, ldr_gt, mask)), rtol=0)
+
+    def test_margin_key_wired(self):
+        """loss.saturation_margin reaches pano_losses."""
+        gt = jnp.full((2, 3), 20.0)    # saturated GT
+        pred = jnp.full((2, 3), 12.0)  # ~1.66x knee
+        outs = [level(pred), level(pred, ort_loss=None)]
+        hp = dict(HP_PROD, **{"loss.saturation_loss": 0.01,
+                              "loss.distortion_loss": 0})
+        p1 = pano_losses(outs, gt, jnp.ones((2, 1)), hp, enable_surf=False)
+        assert float(p1["sat"]) > 0    # margin default 1: engaged
+        hp2 = dict(hp, **{"loss.saturation_margin": 2.0})
+        p2 = pano_losses(outs, gt, jnp.ones((2, 1)), hp2, enable_surf=False)
+        assert float(p2["sat"]) == 0.0  # guard at 2x knee: not engaged
