@@ -25,12 +25,16 @@ Array = jnp.ndarray
 # exactly. configs/panonerf.yaml documents the same defaults for users.
 EXTENSION_DEFAULTS = {
     "loss.distortion_loss": 0.01,
-    # Round 2's knee prior, superseded by view_consistency in round 3: it
-    # caps recovered sources AT the knee, blocking beyond-knee HDR
-    # recovery (emitter ratio 0.83 capped vs 0.89-0.96 free). Available
-    # (0.001-0.01) for scenes where the view-consistency tie alone is
-    # unstable.
-    "loss.saturation_loss": 0.0,
+    # Round 2's knee prior, repurposed in round 3 as a RUNAWAY GUARD via
+    # saturation_margin 2.0: zero value/gradient until a saturated-GT
+    # channel exceeds 2x the knee, so beyond-knee recovery (healthy runs
+    # peak ~1.15x) is untouched while the measured wall-scene seed-1
+    # divergence (emitter inflating to 1.6-2.5x) is bounded (HDR -6.5 ->
+    # -0.75, ratio 1.16; box/wall healthy runs re-gated within noise —
+    # NOTES.md guard study). margin 1.0 restores the round-2 knee cap
+    # (strongest stabilizer, at the cost of capping recovery AT the knee).
+    "loss.saturation_loss": 0.01,
+    "loss.saturation_margin": 2.0,
     "loss.unclipped_pred_tonemap": True,
     # Round-3 HDR fix: view-consistency of predicted fine radiance across
     # view directions (log space) ties the view-dependent head so the

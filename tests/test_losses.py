@@ -141,8 +141,9 @@ class TestStabilizerLosses:
                 level(jnp.ones((B, 3)) * 20.0, ort_loss=jnp.asarray(0.0))]
         p_off = pano_losses(outs, gt, jnp.ones((B, 1)), HP,
                             enable_surf=False)  # key-less = parity = off
-        # Production default is 0 (superseded by view_consistency); the
-        # wiring itself is exercised with an explicit weight.
+        # Production default is 0.01 with margin 2.0 (the runaway guard);
+        # the wiring is exercised with an explicit weight and the 20.0
+        # predictions (2.76x knee) engage it through the margin too.
         hp_sat = dict(HP_PROD, **{"loss.saturation_loss": 0.01})
         p_on = pano_losses(outs, gt, jnp.ones((B, 1)), hp_sat,
                            enable_surf=False)
@@ -270,9 +271,17 @@ class TestSaturationMargin:
         pred = jnp.full((2, 3), 12.0)  # ~1.66x knee
         outs = [level(pred), level(pred, ort_loss=None)]
         hp = dict(HP_PROD, **{"loss.saturation_loss": 0.01,
+                              "loss.saturation_margin": 1.0,
                               "loss.distortion_loss": 0})
         p1 = pano_losses(outs, gt, jnp.ones((2, 1)), hp, enable_surf=False)
-        assert float(p1["sat"]) > 0    # margin default 1: engaged
+        assert float(p1["sat"]) > 0    # margin 1 (knee cap): engaged
         hp2 = dict(hp, **{"loss.saturation_margin": 2.0})
         p2 = pano_losses(outs, gt, jnp.ones((2, 1)), hp2, enable_surf=False)
         assert float(p2["sat"]) == 0.0  # guard at 2x knee: not engaged
+        # The SHIPPED defaults (sat 0.01, margin 2.0 via prepare_hparams)
+        # leave a 1.66x-knee prediction untouched — the guard never binds
+        # in the healthy regime.
+        p3 = pano_losses(outs, gt, jnp.ones((2, 1)),
+                         dict(HP_PROD, **{"loss.distortion_loss": 0}),
+                         enable_surf=False)
+        assert float(p3["sat"]) == 0.0
