@@ -115,18 +115,21 @@ class TestGoldenValues:
             assert np.isfinite(v), (k, v)
         # Composition identity: total equals the weighted sum of components
         # at the production defaults — round-2 stabilizers (distortion +
-        # unclipped pred tonemap) plus the round-3 view-consistency term;
-        # the knee prior is retired to 0 (deliberate semantic changes, see
-        # NOTES.md HDR studies).
+        # unclipped pred tonemap), the round-3 view-consistency term, and
+        # the round-3 runaway guard (saturation 0.01 at margin 2.0 —
+        # normally an exact 0 unless a saturated-GT channel exceeds 2x the
+        # knee; deliberate semantic changes, see NOTES.md HDR studies).
         expect = (0.1 * parts["vol_coarse"] + parts["vol_fine"]
                   + 1.0 * parts["vol_surface"] + 0.1 * parts["chrom"]
                   + 0.1 * parts["ort"]
-                  + 0.01 * parts["dist"] + 0.1 * parts["vc"])
+                  + 0.01 * parts["dist"] + 0.1 * parts["vc"]
+                  + 0.01 * parts["sat"])
         np.testing.assert_allclose(parts["loss"], expect, rtol=1e-5)
-        # Every expected component present; the retired knee prior absent.
+        # Every expected component present (the knee prior returns as the
+        # margin-2 guard).
         assert {"loss", "vol_coarse", "vol_fine", "vol_surface", "chrom",
-                "ort", "dist", "vc"} <= set(parts)
-        assert "sat" not in parts
+                "ort", "dist", "vc", "sat"} <= set(parts)
+        assert parts["sat"] >= 0.0
 
     def test_volumetric_rendering_snapshot(self):
         from pano_nerf_tpu.ops import mip
