@@ -80,6 +80,17 @@ SCENE_VARIANTS = {
         Emitter(face=3, center=(-0.6, -0.8), half=0.5,
                 radiance=(2.5, 2.8, 3.2)),
     )),
+    # Source separation: TWO saturating emitters with OPPOSITE chroma on
+    # different faces (warm ceiling + cool wall). Every channel of both
+    # exceeds or nears the knee, so LDR observations alone cannot order
+    # them — tests whether the irradiance coupling attributes the right
+    # spectrum to the right source.
+    "duo": SceneSpec(emitters=(
+        Emitter(face=3, center=(0.5, 0.5), half=0.8,
+                radiance=(9.5, 8.0, 6.5)),
+        Emitter(face=1, center=(-0.4, 0.3), half=0.8,
+                radiance=(6.5, 8.0, 9.5)),
+    )),
 }
 
 
