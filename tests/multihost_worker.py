@@ -76,8 +76,20 @@ def main():
     dloss = float(jax.device_get(dparts["loss"]))
     assert np.isfinite(dloss), dloss
 
+    # Multi-step scan dispatch (production default steps_per_call=8)
+    # under the multi-process world: the scanned executable must compile
+    # over the global mesh and agree across ranks like the single step.
+    sstep = system.make_train_step_device_data(dataset, enable_surf=True,
+                                               batch_size=8,
+                                               steps_per_call=2)
+    sstate = system.create_state(jax.random.PRNGKey(0))
+    sstate, sparts = sstep(sstate, jax.random.PRNGKey(2))
+    sloss = float(jax.device_get(sparts["loss"]))
+    assert np.isfinite(sloss), sloss
+
     print("RESULT " + json.dumps({"pid": pid, "loss": loss,
-                                  "device_data_loss": dloss}), flush=True)
+                                  "device_data_loss": dloss,
+                                  "scan_loss": sloss}), flush=True)
 
 
 if __name__ == "__main__":

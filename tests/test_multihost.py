@@ -68,3 +68,7 @@ def test_two_process_train_step():
     dlosses = [r["device_data_loss"] for r in results]
     assert np.isfinite(dlosses).all()
     assert abs(dlosses[0] - dlosses[1]) < 1e-6, dlosses
+    # Multi-step scan dispatch under the 2-process world: rank-identical.
+    slosses = [r["scan_loss"] for r in results]
+    assert np.isfinite(slosses).all()
+    assert abs(slosses[0] - slosses[1]) < 1e-6, slosses
