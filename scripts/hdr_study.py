@@ -216,6 +216,10 @@ VARIANTS = {
     "guard": {"loss.saturation_loss": 0.01, "loss.saturation_margin": 2.0},
     "guard15": {"loss.saturation_loss": 0.01,
                 "loss.saturation_margin": 1.5},
+    # Chroma-flattening probe: does the per-channel vc tie itself suppress
+    # channel-structure recovery (the env view, where irradiance evidence
+    # orders channels, is pulled toward the knee-flattened primary view)?
+    "vc0": {"loss.view_consistency": 0.0},
 }
 
 
