@@ -13,7 +13,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from pano_nerf_tpu.ops.shading import hdr_to_ldr
+from pano_nerf_tpu.ops.shading import compute_illumination, hdr_to_ldr
 
 Array = jnp.ndarray
 
@@ -179,8 +179,22 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
     # from floor points (NOTES.md HDR study mechanism 2).
     w_vc = float(hparams.get("loss.view_consistency", 0.0))
     if w_vc > 0 and fine.rgb_alt is not None:
-        vc = masked_mse(jnp.log1p(jax.nn.relu(fine.rgb_alt)),
-                        jnp.log1p(jax.nn.relu(fine.rgb)), mask)
+        if bool(hparams.get("loss.vc_luma", False)):
+            # Chroma-preserving variant: tie only the Rec.709 luma across
+            # views. The per-channel tie transmits intensity but ALSO
+            # pulls the env view's spectrum toward the knee-flattened
+            # primary view, suppressing channel-structure recovery
+            # (measured: the B channel of a partially-saturating emitter
+            # separates correctly only with the tie off — NOTES.md wall
+            # study, vc0 probe). Luma keeps the intensity transmission
+            # while chroma floats to the irradiance evidence.
+            vc = masked_mse(
+                jnp.log1p(compute_illumination(jax.nn.relu(fine.rgb_alt))),
+                jnp.log1p(compute_illumination(jax.nn.relu(fine.rgb))),
+                mask)
+        else:
+            vc = masked_mse(jnp.log1p(jax.nn.relu(fine.rgb_alt)),
+                            jnp.log1p(jax.nn.relu(fine.rgb)), mask)
         loss = loss + w_vc * vc
         parts["vc"] = vc
     # Emission sparsity (emissive-head decomposition, BaseNeRF.

@@ -220,6 +220,11 @@ VARIANTS = {
     # channel-structure recovery (the env view, where irradiance evidence
     # orders channels, is pulled toward the knee-flattened primary view)?
     "vc0": {"loss.view_consistency": 0.0},
+    # Chroma-preserving vc: tie log-LUMA only — keeps the intensity
+    # transmission the box scene needs while freeing chroma to follow
+    # the irradiance evidence (the vc0 probe showed the per-channel tie
+    # suppresses the B channel's correct downward separation).
+    "vcl": {"loss.vc_luma": True},
 }
 
 

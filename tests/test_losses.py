@@ -285,3 +285,29 @@ class TestSaturationMargin:
                          dict(HP_PROD, **{"loss.distortion_loss": 0}),
                          enable_surf=False)
         assert float(p3["sat"]) == 0.0
+
+
+class TestVcLuma:
+    def test_luma_tie_is_chroma_free(self):
+        """loss.vc_luma ties only Rec.709 luma: two alt composites with
+        equal luma but different chroma give identical vc, while the
+        per-channel default distinguishes them."""
+        B = 4
+        gt = jnp.ones((B, 3))
+        rgb = jnp.full((B, 3), 2.0)
+        # Same Rec.709 luma (=4.0), different chroma.
+        alt_a = jnp.tile(jnp.asarray([[4.0, 4.0, 4.0]]), (B, 1))
+        alt_b = jnp.tile(jnp.asarray(
+            [[1.0, 4.0 + 3.0 * 0.2126 / 0.7152, 4.0]]), (B, 1))
+        hp = dict(HP_PROD, **{"loss.vc_luma": True})
+
+        def vc_of(alt, hp):
+            outs = [level(rgb), level(rgb, ort_loss=None, rgb_alt=alt)]
+            return float(pano_losses(outs, gt, jnp.ones((B, 1)), hp,
+                                     enable_surf=False)["vc"])
+
+        np.testing.assert_allclose(vc_of(alt_a, hp), vc_of(alt_b, hp),
+                                   rtol=1e-6)
+        assert abs(vc_of(alt_a, HP_PROD) - vc_of(alt_b, HP_PROD)) > 1e-4
+        # Equal-luma alt vs rgb: luma tie is positive when lumas differ.
+        assert vc_of(alt_a, hp) > 0
