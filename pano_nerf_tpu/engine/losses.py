@@ -42,6 +42,14 @@ EXTENSION_DEFAULTS = {
     # 44k measured HDR ws-PSNR -1.8 -> +1.5, emitter ratio 0.89 with
     # per-channel radiance above the knee (NOTES.md round-3 HDR study).
     "loss.view_consistency": 0.1,
+    # Tie LUMA only (chroma-preserving): the per-channel tie drags the
+    # env view's spectrum toward the knee-flattened primary view —
+    # suppressing channel-structure recovery AND amplifying the
+    # divergence loop on hard scenes (measured: the diverging wall seed
+    # becomes fully healthy, +1.49 / ratio 1.00; box +1.06 -> +1.49;
+    # wall seed 0 +1.63 -> +2.42 — NOTES.md vc_luma study). False =
+    # the per-channel round-3 tie.
+    "loss.vc_luma": True,
     # Identifiability prior for the emissive-head decomposition
     # (BaseNeRF.emissive_head): dormant unless the head is enabled
     # (the loss term requires LevelOutput.emission).

@@ -163,20 +163,26 @@ class TestStabilizerLosses:
         outs_alt = [level(rgb),
                     level(rgb, ort_loss=None,
                           rgb_alt=jnp.full((B, 3), 6.0))]
+        # Production default ties LUMA (vc_luma True); grey composites
+        # have luma equal to their value, so expect one squared log1p gap.
         p = pano_losses(outs_alt, gt, jnp.ones((B, 1)), HP_PROD,
                         enable_surf=False)
         assert "vc" in p and float(p["vc"]) > 0
-        # masked_mse sums the 3 channels per ray (mask is [B, 1]).
-        expect_vc = 3 * float(
+        gap = float(
             (jnp.log1p(jnp.asarray(6.0)) - jnp.log1p(jnp.asarray(2.0)))
             ** 2)
-        np.testing.assert_allclose(float(p["vc"]), expect_vc, rtol=1e-6)
+        np.testing.assert_allclose(float(p["vc"]), gap, rtol=1e-6)
+        # Per-channel variant: masked_mse sums the 3 channels per ray.
+        hp_pc = dict(HP_PROD, **{"loss.vc_luma": False})
+        p_pc = pano_losses(outs_alt, gt, jnp.ones((B, 1)), hp_pc,
+                           enable_surf=False)
+        np.testing.assert_allclose(float(p_pc["vc"]), 3 * gap, rtol=1e-6)
         outs_none = [level(rgb), level(rgb, ort_loss=None)]
         p0 = pano_losses(outs_none, gt, jnp.ones((B, 1)), HP_PROD,
                          enable_surf=False)
         assert "vc" not in p0
         np.testing.assert_allclose(
-            float(p["loss"]) - float(p0["loss"]), 0.1 * expect_vc,
+            float(p["loss"]) - float(p0["loss"]), 0.1 * gap,
             rtol=1e-5)
 
     def test_unclipped_pred_tonemap_restores_gradient(self):
@@ -299,7 +305,8 @@ class TestVcLuma:
         alt_a = jnp.tile(jnp.asarray([[4.0, 4.0, 4.0]]), (B, 1))
         alt_b = jnp.tile(jnp.asarray(
             [[1.0, 4.0 + 3.0 * 0.2126 / 0.7152, 4.0]]), (B, 1))
-        hp = dict(HP_PROD, **{"loss.vc_luma": True})
+        hp = dict(HP_PROD, **{"loss.vc_luma": True})  # = shipped default
+        hp_pc = dict(HP_PROD, **{"loss.vc_luma": False})
 
         def vc_of(alt, hp):
             outs = [level(rgb), level(rgb, ort_loss=None, rgb_alt=alt)]
@@ -308,6 +315,6 @@ class TestVcLuma:
 
         np.testing.assert_allclose(vc_of(alt_a, hp), vc_of(alt_b, hp),
                                    rtol=1e-6)
-        assert abs(vc_of(alt_a, HP_PROD) - vc_of(alt_b, HP_PROD)) > 1e-4
+        assert abs(vc_of(alt_a, hp_pc) - vc_of(alt_b, hp_pc)) > 1e-4
         # Equal-luma alt vs rgb: luma tie is positive when lumas differ.
         assert vc_of(alt_a, hp) > 0
