@@ -91,6 +91,34 @@ SCENE_VARIANTS = {
         Emitter(face=1, center=(-0.4, 0.3), half=0.8,
                 radiance=(6.5, 8.0, 9.5)),
     )),
+    # Attribution probes for the duo scene's cross-source chroma failure
+    # (NOTES.md duo study: the cool wall source inherits the warm ceiling
+    # spectrum). Each isolates one mechanism:
+    #   duo_cool — the cool WALL source ALONE. If its chroma recovers
+    #     correctly in isolation, the duo failure is joint-attribution;
+    #     if it still comes out warm/flat, the wall-emitter geometry
+    #     (weak grazing irradiance evidence) is the binding limit.
+    #   duo_warm — the warm CEILING source alone (control; expected to
+    #     recover, like the default box scene).
+    #   duo_swap — same two positions, spectra exchanged (warm on the
+    #     wall, cool on the ceiling). If the CEILING source always
+    #     recovers its order regardless of spectrum, position/evidence
+    #     strength drives attribution; if WARM always wins both sources,
+    #     a learned spectrum prior couples them.
+    "duo_cool": SceneSpec(emitters=(
+        Emitter(face=1, center=(-0.4, 0.3), half=0.8,
+                radiance=(6.5, 8.0, 9.5)),
+    )),
+    "duo_warm": SceneSpec(emitters=(
+        Emitter(face=3, center=(0.5, 0.5), half=0.8,
+                radiance=(9.5, 8.0, 6.5)),
+    )),
+    "duo_swap": SceneSpec(emitters=(
+        Emitter(face=3, center=(0.5, 0.5), half=0.8,
+                radiance=(6.5, 8.0, 9.5)),
+        Emitter(face=1, center=(-0.4, 0.3), half=0.8,
+                radiance=(9.5, 8.0, 6.5)),
+    )),
 }
 
 

@@ -205,6 +205,27 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
                             jnp.log1p(jax.nn.relu(fine.rgb)), mask)
         loss = loss + w_vc * vc
         parts["vc"] = vc
+    # Cross-scale self-distillation (BaseNeRF.rgb_scale/dist_scale): the
+    # primary ray re-marched at the secondary-ray IPE scale must composite
+    # to the same radiance and expected distance as the fine march
+    # (stop-gradient targets — the fine field teaches, the blurred field
+    # learns). This anchors the ONLY scale the irradiance queries read to
+    # the primary-supervised field; without it, that scale is free to
+    # paint phantom radiance decoupled from the scene (round-3 env-scale
+    # probe: the trained blurred-scale march puts ~0 weight at the true
+    # emitter and bright mass where the fine field is empty). log1p keeps
+    # O(1) gradients above the tonemap knee like the vc term.
+    w_sd = float(hparams.get("loss.scale_distill", 0.0))
+    if w_sd > 0 and fine.rgb_scale is not None:
+        sd_rgb = masked_mse(
+            jnp.log1p(jax.nn.relu(fine.rgb_scale)),
+            jax.lax.stop_gradient(jnp.log1p(jax.nn.relu(fine.rgb))), mask)
+        sd_dist = masked_mse(
+            fine.dist_scale[..., None],
+            jax.lax.stop_gradient(fine.distance)[..., None], mask)
+        sd = sd_rgb + sd_dist
+        loss = loss + w_sd * sd
+        parts["scale_distill"] = sd
     # Emission sparsity (emissive-head decomposition, BaseNeRF.
     # emissive_head): L1 on the composited self-emission — emission is
     # non-negative by construction, so this is a masked mean — keeping it

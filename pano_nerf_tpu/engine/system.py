@@ -190,6 +190,7 @@ class PanoNeRFSystem(BaseSystem):
         hp = self.hparams
         use_ort = hp["loss.ort_loss"] > 0
         use_vc = float(hp.get("loss.view_consistency", 0.0)) > 0
+        use_sd = float(hp.get("loss.scale_distill", 0.0)) > 0
         env_rays = self.env_rays
         assert env_rays is not None, "call set_env_rays() first"
 
@@ -203,7 +204,8 @@ class PanoNeRFSystem(BaseSystem):
                     params, step_key, rays, env_rays,
                     randomized=self.train_randomized,
                     white_bkgd=self.white_bkgd, enable_surf=enable_surf,
-                    use_ort_loss=use_ort, use_vc_loss=use_vc)
+                    use_ort_loss=use_ort, use_vc_loss=use_vc,
+                    use_scale_distill=use_sd)
                 parts = losses_lib.pano_losses(outs, rgbs[..., :3], mask, hp,
                                                enable_surf)
                 return parts["loss"], parts
@@ -240,6 +242,7 @@ class PanoNeRFSystem(BaseSystem):
         hp = self.hparams
         use_ort = hp["loss.ort_loss"] > 0
         use_vc = float(hp.get("loss.view_consistency", 0.0)) > 0
+        use_sd = float(hp.get("loss.scale_distill", 0.0)) > 0
         env_rays = self.env_rays
         assert env_rays is not None, "call set_env_rays() first"
         rays_all, rgbs_all = dataset
@@ -260,7 +263,8 @@ class PanoNeRFSystem(BaseSystem):
                     params, k_model, rays, env_rays,
                     randomized=self.train_randomized,
                     white_bkgd=self.white_bkgd, enable_surf=enable_surf,
-                    use_ort_loss=use_ort, use_vc_loss=use_vc)
+                    use_ort_loss=use_ort, use_vc_loss=use_vc,
+                    use_scale_distill=use_sd)
                 parts = losses_lib.pano_losses(outs, rgbs[..., :3], mask, hp,
                                                enable_surf)
                 return parts["loss"], parts

@@ -52,6 +52,12 @@ class LevelOutput(NamedTuple):
     emission: Optional[Array] = None  # [B, 3] composited self-emission
     #   (emissive-head decomposition, round-3 HDR attack — see
     #   BaseNeRF.emissive_head)
+    rgb_scale: Optional[Array] = None  # [B, 3] primary ray re-rendered at
+    dist_scale: Optional[Array] = None  # [B] ... the secondary-march IPE
+    #   scale (num_env_samples uniform Gaussians): cross-scale
+    #   self-distillation targets (engine/losses.py scale_distill term) —
+    #   anchors the blurred-scale field the irradiance queries read to the
+    #   primary-supervised fine-scale field (round-3 env-scale probe).
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,6 +99,22 @@ class BaseNeRF:
     mlp_num_rgb_channels: int = 3
     mlp_num_density_channels: int = 1
     num_env_samples: int = 10
+    # Two-level secondary (irradiance) march — beyond the reference's
+    # single uniform env march (/root/reference/models/mip.py:154-194).
+    # The uniform S-sample march over [near, far] produces HUGE per-sample
+    # Gaussians (spacing (far-near)/S ~ 2 units), and the radiance field
+    # at that IPE scale is supervised ONLY by the irradiance loss — the
+    # optimizer freely paints phantom radiance there, decoupled from the
+    # fine-scale field the primary views (and the HDR metric) see
+    # (measured on a trained checkpoint: the blurred-scale march puts ~0
+    # weight at the true emitter and composites bright mass where the
+    # fine-scale field is empty — NOTES.md round-3 env-scale probe).
+    # With env_resample, the blurred march only PLACES samples (blurpool
+    # CDF, stop-gradient — exactly the primary coarse->fine scheme) and a
+    # second march of num_env_fine_samples tight Gaussians carries the
+    # radiance, at the scale the primary views actually supervise.
+    env_resample: bool = False
+    num_env_fine_samples: int = 5
     compute_dtype: Any = jnp.bfloat16
     # Force the fused Pallas MLP kernels on for ALL subgraphs (including
     # training). Default off for training: XLA compiles the train step to
@@ -283,6 +305,9 @@ class BaseNeRF:
             mlp_skip_index=hparams["nerf.mlp.skip_index"],
             mlp_num_rgb_channels=hparams["nerf.mlp.num_rgb_channels"],
             num_env_samples=hparams["nerf.num_env_samples"],
+            env_resample=bool(hparams.get("nerf.env_resample", False)),
+            num_env_fine_samples=int(
+                hparams.get("nerf.num_env_fine_samples", 5)),
             num_coarse_samples=int(
                 hparams.get("nerf.num_coarse_samples", 0)),
             compute_dtype=dtype,

@@ -101,6 +101,32 @@ class PanoMipNeRF(BaseNeRF):
             k_pick, cell_dirs, (luma + 1e-3) * cosw, D)
         return dirs, inv_density, k_env
 
+    def _resample_env(self, key, surf_origins, lit_dirs, radii, lit_t,
+                      env_weights, randomized):
+        """Second (tight-Gaussian) irradiance march for env_resample.
+
+        Blurpool-CDF resample of the blurred placement march — the primary
+        coarse->fine scheme (ops/mip.resample_along_rays) applied to the
+        secondary rays, so the radiance evidence is carried by Gaussians
+        at the IPE scale the primary views actually supervise
+        (BaseNeRF.env_resample rationale).
+        """
+        B, D = lit_dirs.shape[:2]
+        S = lit_t.shape[-1] - 1
+        Sf = self.num_env_fine_samples
+        k = jax.random.fold_in(key, 0xE5)
+        origins = jnp.broadcast_to(surf_origins[:, None, :], (B, D, 3))
+        rad = jnp.broadcast_to(jnp.reshape(radii, (1, -1, 1))[:, :D],
+                               (B, D, 1))
+        t2, (m2, c2) = mip.resample_along_rays(
+            k, origins.reshape(B * D, 3), lit_dirs.reshape(B * D, 3),
+            rad.reshape(B * D, 1), lit_t.reshape(B * D, S + 1),
+            env_weights.reshape(B * D, S), randomized, stop_grad=True,
+            resample_padding=self.resample_padding,
+            num_samples=Sf)
+        return (t2.reshape(B, D, Sf + 1),
+                (m2.reshape(B, D, Sf, 3), c2.reshape(B, D, Sf, 3)))
+
     def _render_fused(self, params, key: jax.Array, rays: Rays,
                       env_rays: Rays, randomized: bool, white_bkgd: bool,
                       enable_surf: bool,
@@ -156,6 +182,17 @@ class PanoMipNeRF(BaseNeRF):
                            lit_dirs.reshape(B * D, 3),
                            lit_t.reshape(B * D, S2 + 1),
                            lit_dirs.reshape(B * D, 3), False, need=False)
+                if self.env_resample:
+                    Sf = self.num_env_fine_samples
+                    t2, (m2, c2) = self._resample_env(
+                        k_env, surf_origins, lit_dirs, env_rays.radii,
+                        lit_t, re["weights"].reshape(B, D, S2), randomized)
+                    re = level(m2.reshape(B * D, Sf, 3),
+                               c2.reshape(B * D, Sf, 3),
+                               lit_dirs.reshape(B * D, 3),
+                               t2.reshape(B * D, Sf + 1),
+                               lit_dirs.reshape(B * D, 3), False,
+                               need=False)
                 env_rgb = re["rgb"].reshape(B, D, 3)
                 surf_rgb, diffuse, _, shade = shading.surface_rendering(
                     env_rgb, albedo, out["normal"], None, lit_dirs,
@@ -168,7 +205,8 @@ class PanoMipNeRF(BaseNeRF):
     def __call__(self, params, key: jax.Array, rays: Rays, env_rays: Rays,
                  randomized: bool, white_bkgd: bool, enable_surf: bool,
                  use_ort_loss: bool, first_order: bool = False,
-                 use_vc_loss: bool = False) -> List[LevelOutput]:
+                 use_vc_loss: bool = False,
+                 use_scale_distill: bool = False) -> List[LevelOutput]:
         """Coarse/fine forward. `first_order=True` promises the caller will
         differentiate the outputs at most once (e.g. eval rendering), which
         lets the fine level use the fused Pallas kernel too; the coarse and
@@ -182,7 +220,7 @@ class PanoMipNeRF(BaseNeRF):
             fused_self = dataclasses.replace(self, use_fused_kernel=True)
             return fused_self(params, key, rays, env_rays, randomized,
                               white_bkgd, enable_surf, use_ort_loss,
-                              first_order, use_vc_loss)
+                              first_order, use_vc_loss, use_scale_distill)
         if not first_order:
             # Batch-aware training policy: large batches collapse XLA's
             # fusion windows and the v3 kernel wins (BaseNeRF.
@@ -191,7 +229,7 @@ class PanoMipNeRF(BaseNeRF):
             if auto is not None:
                 return auto(params, key, rays, env_rays, randomized,
                             white_bkgd, enable_surf, use_ort_loss,
-                            first_order, use_vc_loss)
+                            first_order, use_vc_loss, use_scale_distill)
         if (first_order and self.use_render_kernel
                 and self.fused_scope == "all"
                 and self._fused_ok("fine") and self.append_identity
@@ -402,6 +440,28 @@ class PanoMipNeRF(BaseNeRF):
                     rgb_alt = rgb_alt + (
                         1.0 - jax.lax.stop_gradient(acc)[..., None])
                 out["rgb_alt"] = rgb_alt
+            if use_scale_distill and randomized:
+                # Cross-scale self-distillation query: re-march THIS primary
+                # ray with num_env_samples uniform Gaussians — the exact
+                # sampling geometry of a secondary irradiance ray (same
+                # [near, far] span and count) — and composite. The loss ties
+                # it to the fine composite (stop-gradient target), anchoring
+                # the blurred-scale field the env queries read to the
+                # primary-supervised fine-scale field. Without it that scale
+                # is supervised ONLY by the irradiance loss and the
+                # optimizer freely paints phantom radiance there (round-3
+                # env-scale probe, NOTES.md). First-order subgraph — fused.
+                k_sd = jax.random.fold_in(key, 0x5D)
+                t_sd, (m_sd, c_sd) = mip.sample_along_rays(
+                    k_sd, rays.origins, rays.directions, rays.radii,
+                    self.num_env_samples, rays.near, rays.far, randomized,
+                    self.disparity)
+                sd_graph = make_graph(c_sd, rays.viewdirs, None, fused=True)
+                sd_rgb, sd_den, _, _ = sd_graph(m_sd)
+                rgb_scale, dist_scale, *_ = mip.volumetric_rendering(
+                    sd_rgb, sd_den, t_sd, rays.directions, white_bkgd)
+                out["rgb_scale"] = rgb_scale
+                out["dist_scale"] = dist_scale
             if enable_surf:
                 # Expected albedo along the primary ray.
                 albedo = jnp.sum(w_norm * albedos, axis=-2)
@@ -460,7 +520,8 @@ class PanoMipNeRF(BaseNeRF):
 
                 # Secondary radiance query: [B, D, S, .] — always first-order
                 # (its output feeds the loss directly), so may always fuse.
-                if use_tk and self.train_kernel_scope in ("all", "env"):
+                if (use_tk and self.train_kernel_scope in ("all", "env")
+                        and not self.env_resample):
                     B, D, S2 = lit_means.shape[:3]
                     re = train_kernel_level(
                         lit_means.reshape(B * D, S2, 3),
@@ -473,8 +534,22 @@ class PanoMipNeRF(BaseNeRF):
                     env_graph = make_graph(lit_covs, lit_dirs, None,
                                            fused=True)
                     e_rgb, e_density, _, _ = env_graph(lit_means)
-                    env_rgb, *_ = mip.volumetric_rendering(
+                    env_vr = mip.volumetric_rendering(
                         e_rgb, e_density, lit_t, lit_dirs, white_bkgd=False)
+                    env_rgb = env_vr[0]
+                    if self.env_resample:
+                        # Two-level irradiance march: the blurred pass above
+                        # only PLACES the tight second march that carries the
+                        # radiance evidence (BaseNeRF.env_resample).
+                        lit_t, (lit_means, lit_covs) = self._resample_env(
+                            k_env, surf_origins, lit_dirs, env_rays.radii,
+                            lit_t, env_vr[3], randomized)
+                        env_graph2 = make_graph(lit_covs, lit_dirs, None,
+                                                fused=True)
+                        e_rgb2, e_den2, _, _ = env_graph2(lit_means)
+                        env_rgb = mip.volumetric_rendering(
+                            e_rgb2, e_den2, lit_t, lit_dirs,
+                            white_bkgd=False)[0]
 
                 surf_rgb, diffuse, _, shade = shading.surface_rendering(
                     env_rgb, albedo, normal, None, lit_dirs, rays.viewdirs,

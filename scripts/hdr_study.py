@@ -209,6 +209,20 @@ VARIANTS = {
     # on the wall scene). 0 = off; reference default 0.1.
     "chrom0": {"loss.chrom_loss": 0.0},
     "chrom03": {"loss.chrom_loss": 0.03},
+    # Two-level secondary march (nerf.env_resample): the irradiance
+    # evidence rides tight Gaussians at the primary-supervised IPE scale
+    # instead of the blurred placement scale (the round-3 env-scale probe
+    # showed the blurred-scale field is decoupled — free phantom radiance).
+    "envrs": {"nerf.env_resample": True},
+    "envrs3": {"nerf.env_resample": True, "nerf.num_env_fine_samples": 3},
+    "envrs_chrom0": {"nerf.env_resample": True, "loss.chrom_loss": 0.0},
+    # Cross-scale self-distillation (loss.scale_distill): anchor the
+    # blurred-scale field the irradiance queries read to the fine field
+    # (the other attack on the same env-scale decoupling; composable with
+    # envrs, which changes WHICH scale carries the evidence instead).
+    "sd01": {"loss.scale_distill": 0.1},
+    "sd03": {"loss.scale_distill": 0.3},
+    "sd01_envrs": {"loss.scale_distill": 0.1, "nerf.env_resample": True},
     # Runaway guard: one-sided pull toward 2x the knee — identically zero
     # until a channel exceeds it, so healthy runs are bitwise unaffected;
     # bounds the wall-scene seed-1 divergence (emitter inflating to
@@ -228,9 +242,34 @@ VARIANTS = {
 }
 
 
+def per_source_stats(pred: np.ndarray, gt: np.ndarray,
+                     spec) -> list:
+    """Per-emitter pred/gt channel means for multi-source scenes.
+
+    Emitter pixels in the synthetic GT carry the emitter radiance EXACTLY
+    (data/synthetic.py render_pano sets them directly), so an exact-match
+    mask attributes each pixel to its source without geometry plumbing.
+    Only bright sources (max channel > EMITTER_THRESHOLD) are reported.
+    """
+    rows = []
+    for i, e in enumerate(spec.emitters):
+        rad = np.asarray(e.radiance, dtype=np.float32)
+        if rad.max() <= EMITTER_THRESHOLD:
+            continue
+        mask = np.all(np.abs(gt - rad) < 0.05, axis=-1)
+        if not mask.any():
+            continue
+        rows.append({"source": i, "face": e.face,
+                     "gt_rgb": [round(float(x), 3) for x in rad],
+                     "pred_rgb": [round(float(x), 3)
+                                  for x in pred[mask].mean(0)],
+                     "pixels": int(mask.sum())})
+    return rows
+
+
 def run_variant(name: str, scene: str, out_root: str,
                 steps: int, val_epochs: int, env_dirs: int,
-                seed: int = 0) -> dict:
+                seed: int = 0, spec=None) -> dict:
     out_dir = os.path.join(out_root,
                            name if seed == 0 else f"{name}-seed{seed}")
     cmd = [
@@ -263,6 +302,7 @@ def run_variant(name: str, scene: str, out_root: str,
     for vdir in sorted(glob.glob(os.path.join(exp, "val_*"))):
         step = int(os.path.basename(vdir).split("_")[1])
         pm, gm = [], []
+        src_acc = {}
         for pred_f in sorted(glob.glob(os.path.join(vdir, "pred_hdr",
                                                     "*.exr"))):
             gt_f = os.path.join(vdir, "gt_hdr", os.path.basename(pred_f))
@@ -273,7 +313,18 @@ def run_variant(name: str, scene: str, out_root: str,
             if mask.any():
                 pm.append(pred[mask].mean(0))      # per-channel [3]
                 gm.append(gt[mask].mean(0))
+            if spec is not None and len(spec.emitters) >= 1:
+                for r in per_source_stats(pred, gt, spec):
+                    src_acc.setdefault(r["source"], []).append(r)
         row = {"step": step}
+        if src_acc:
+            row["per_source"] = [
+                {"source": s, "face": rs[0]["face"],
+                 "gt_rgb": rs[0]["gt_rgb"],
+                 "pred_rgb": [round(float(np.mean([r["pred_rgb"][c]
+                                                   for r in rs])), 3)
+                              for c in range(3)]}
+                for s, rs in sorted(src_acc.items())]
         if pm:
             pmc = np.mean(pm, axis=0)
             gmc = np.mean(gm, axis=0)
@@ -313,16 +364,18 @@ def main():
     args = ap.parse_args()
 
     scene = os.path.join(args.out, "scene")
+    from pano_nerf_tpu.data.synthetic import SCENE_VARIANTS, generate_scene
     if not os.path.exists(os.path.join(scene, "transforms_all.json")):
-        from pano_nerf_tpu.data.synthetic import generate_scene
         generate_scene(scene, n_views=6, height=args.height,
                        width=args.width, variant=args.scene_variant)
+    spec = SCENE_VARIANTS.get(args.scene_variant)
 
     results = []
     for name in args.variants:
         res = run_variant(name, scene=scene, out_root=args.out,
                           steps=args.steps, val_epochs=args.val_epochs,
-                          env_dirs=args.env_dirs, seed=args.seed)
+                          env_dirs=args.env_dirs, seed=args.seed,
+                          spec=spec)
         results.append(res)
         print(json.dumps(res), flush=True)
 
