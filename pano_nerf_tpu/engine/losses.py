@@ -154,7 +154,28 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
         loss = loss + hparams["loss.surface_loss"] * vol_surface
         parts["vol_surface"] = vol_surface
         if hparams["loss.chrom_loss"] > 0:
-            chrom = chromaticity_loss(ldr_gt, fine.albedo)
+            if (bool(hparams.get("loss.chrom_illum_comp", False))
+                    and fine.shading is not None):
+                # Illuminant-compensated chromaticity (beyond reference):
+                # the plain prior ties albedo chroma to the LDR image
+                # chroma, which under a strongly COLORED illuminant is the
+                # illuminant's chroma, not the surface's — measured to
+                # inflate source intensity on the chromatic duo_cool scene
+                # (HDR -0.55 vs +2.46 with the prior off; NOTES.md duo
+                # attribution matrix). Physically, pixel radiance =
+                # albedo/pi * irradiance for the Lambertian term, so the
+                # albedo chroma target is GT radiance divided per-channel
+                # by the (stop-gradient) irradiance integral the surface
+                # path already computes (LevelOutput.shading). Identical
+                # to the plain prior under neutral illumination; under
+                # chromatic illumination the illuminant chroma no longer
+                # leaks into albedo. Falls back to the plain prior when
+                # the BRDF provides no separable irradiance (microfacet).
+                illum = jax.lax.stop_gradient(
+                    jnp.maximum(fine.shading, 1e-3))
+                chrom = chromaticity_loss(rgbs_gt / illum, fine.albedo)
+            else:
+                chrom = chromaticity_loss(ldr_gt, fine.albedo)
             loss = loss + hparams["loss.chrom_loss"] * chrom
             parts["chrom"] = chrom
     if fine.ort_loss is not None:
@@ -216,14 +237,24 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
     # emitter and bright mass where the fine field is empty). log1p keeps
     # O(1) gradients above the tonemap knee like the vc term.
     w_sd = float(hparams.get("loss.scale_distill", 0.0))
-    if w_sd > 0 and fine.rgb_scale is not None:
-        sd_rgb = masked_mse(
+    w_sdd = float(hparams.get("loss.scale_distill_dist", 0.0))
+    if (w_sd > 0 or w_sdd > 0) and fine.rgb_scale is not None:
+        sd = masked_mse(
             jnp.log1p(jax.nn.relu(fine.rgb_scale)),
             jax.lax.stop_gradient(jnp.log1p(jax.nn.relu(fine.rgb))), mask)
-        sd_dist = masked_mse(
-            fine.dist_scale[..., None],
-            jax.lax.stop_gradient(fine.distance)[..., None], mask)
-        sd = sd_rgb + sd_dist
+        # The DISTANCE tie is a separate, default-OFF weight: measured to
+        # collapse geometry (duo_cool 44k at weight 0.1: depth_delta1 0.0,
+        # LDR 8.9 — train views memorized by a near-camera shell). Making
+        # the blurred march reproduce the fine expected distance demands
+        # env-scale-wide density AT the surface, which through the shared
+        # MLP destroys the fine-scale geometry; the rgb tie alone anchors
+        # the quantity the irradiance queries actually consume.
+        if w_sdd > 0 and fine.dist_scale is not None:
+            sd_dist = masked_mse(
+                fine.dist_scale[..., None],
+                jax.lax.stop_gradient(fine.distance)[..., None], mask)
+            loss = loss + w_sdd * sd_dist
+            parts["scale_distill_dist"] = sd_dist
         loss = loss + w_sd * sd
         parts["scale_distill"] = sd
     # Emission sparsity (emissive-head decomposition, BaseNeRF.

@@ -190,7 +190,8 @@ class PanoNeRFSystem(BaseSystem):
         hp = self.hparams
         use_ort = hp["loss.ort_loss"] > 0
         use_vc = float(hp.get("loss.view_consistency", 0.0)) > 0
-        use_sd = float(hp.get("loss.scale_distill", 0.0)) > 0
+        use_sd = (float(hp.get("loss.scale_distill", 0.0)) > 0
+                  or float(hp.get("loss.scale_distill_dist", 0.0)) > 0)
         env_rays = self.env_rays
         assert env_rays is not None, "call set_env_rays() first"
 
@@ -242,7 +243,8 @@ class PanoNeRFSystem(BaseSystem):
         hp = self.hparams
         use_ort = hp["loss.ort_loss"] > 0
         use_vc = float(hp.get("loss.view_consistency", 0.0)) > 0
-        use_sd = float(hp.get("loss.scale_distill", 0.0)) > 0
+        use_sd = (float(hp.get("loss.scale_distill", 0.0)) > 0
+                  or float(hp.get("loss.scale_distill_dist", 0.0)) > 0)
         env_rays = self.env_rays
         assert env_rays is not None, "call set_env_rays() first"
         rays_all, rgbs_all = dataset

@@ -209,6 +209,11 @@ VARIANTS = {
     # on the wall scene). 0 = off; reference default 0.1.
     "chrom0": {"loss.chrom_loss": 0.0},
     "chrom03": {"loss.chrom_loss": 0.03},
+    # Illuminant-compensated chromaticity (loss.chrom_illum_comp): tie
+    # albedo chroma to GT / stop-grad(irradiance) instead of raw LDR —
+    # keeps the prior's regularization without pushing illuminant chroma
+    # into albedo on chromatic scenes (duo attribution matrix).
+    "chromic": {"loss.chrom_illum_comp": True},
     # Two-level secondary march (nerf.env_resample): the irradiance
     # evidence rides tight Gaussians at the primary-supervised IPE scale
     # instead of the blurred placement scale (the round-3 env-scale probe
@@ -222,6 +227,11 @@ VARIANTS = {
     # envrs, which changes WHICH scale carries the evidence instead).
     "sd01": {"loss.scale_distill": 0.1},
     "sd03": {"loss.scale_distill": 0.3},
+    "sd001": {"loss.scale_distill": 0.01},
+    # Distance tie included (measured collapsing at 0.1 — kept only as
+    # the reproduction recipe for that negative result).
+    "sd01_dist": {"loss.scale_distill": 0.1,
+                  "loss.scale_distill_dist": 0.1},
     "sd01_envrs": {"loss.scale_distill": 0.1, "nerf.env_resample": True},
     # Runaway guard: one-sided pull toward 2x the knee — identically zero
     # until a channel exceeds it, so healthy runs are bitwise unaffected;

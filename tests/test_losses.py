@@ -318,3 +318,90 @@ class TestVcLuma:
         assert abs(vc_of(alt_a, hp_pc) - vc_of(alt_b, hp_pc)) > 1e-4
         # Equal-luma alt vs rgb: luma tie is positive when lumas differ.
         assert vc_of(alt_a, hp) > 0
+
+
+class TestChromIllumComp:
+    """Illuminant-compensated chromaticity (loss.chrom_illum_comp)."""
+
+    def _outs(self, gt, albedo, shading=None):
+        B = gt.shape[0]
+        return [level(gt), level(gt, normal=jnp.ones((B, 3)),
+                                 albedo=albedo, surf_rgb=gt,
+                                 shading=shading,
+                                 ort_loss=jnp.asarray(0.0))]
+
+    def test_default_off_is_parity(self):
+        B = 6
+        gt = jnp.abs(jnp.sin(jnp.arange(B * 3.0))).reshape(B, 3) + 0.1
+        albedo = jnp.full((B, 3), 0.5)
+        shading = jnp.full((B, 3), 2.0)
+        mask = jnp.ones((B, 1))
+        base = pano_losses(self._outs(gt, albedo, shading), gt, mask, HP,
+                           enable_surf=True)
+        hp_off = dict(HP, **{"loss.chrom_illum_comp": False})
+        off = pano_losses(self._outs(gt, albedo, shading), gt, mask, hp_off,
+                          enable_surf=True)
+        np.testing.assert_array_equal(np.asarray(base["chrom"]),
+                                      np.asarray(off["chrom"]))
+
+    def test_compensates_colored_illuminant(self):
+        """A neutral (gray) surface under a blue illuminant: the plain
+        prior penalizes the correct gray albedo (the pixel is blue), the
+        compensated prior does not."""
+        B = 8
+        illum = jnp.broadcast_to(jnp.asarray([0.5, 1.0, 2.0]), (B, 3))
+        albedo_true = jnp.full((B, 3), 0.6)       # gray surface
+        gt = albedo_true * illum                  # observed radiance
+        mask = jnp.ones((B, 1))
+        hp_ic = dict(HP, **{"loss.chrom_illum_comp": True})
+        ic = pano_losses(self._outs(gt, albedo_true, illum), gt, mask,
+                         hp_ic, enable_surf=True)
+        plain = pano_losses(self._outs(gt, albedo_true, illum), gt, mask,
+                            HP, enable_surf=True)
+        assert float(ic["chrom"]) < 1e-10          # correct albedo: no pull
+        assert float(plain["chrom"]) > 1e-3        # plain prior penalizes it
+
+    def test_neutral_light_reduces_to_linear_gt_chroma(self):
+        B = 5
+        gt = jnp.abs(jnp.cos(jnp.arange(B * 3.0))).reshape(B, 3) + 0.2
+        shading = jnp.full((B, 3), 1.7)            # neutral illuminant
+        albedo = gt / shading
+        mask = jnp.ones((B, 1))
+        hp_ic = dict(HP, **{"loss.chrom_illum_comp": True})
+        ic = pano_losses(self._outs(gt, albedo, shading), gt, mask, hp_ic,
+                         enable_surf=True)
+        assert float(ic["chrom"]) < 1e-10
+
+    def test_falls_back_without_shading(self):
+        """Microfacet BRDF exposes no separable irradiance: the flag must
+        fall back to the plain prior instead of crashing."""
+        B = 4
+        gt = jnp.ones((B, 3))
+        albedo = jnp.full((B, 3), 0.5)
+        mask = jnp.ones((B, 1))
+        hp_ic = dict(HP, **{"loss.chrom_illum_comp": True})
+        ic = pano_losses(self._outs(gt, albedo, None), gt, mask, hp_ic,
+                         enable_surf=True)
+        plain = pano_losses(self._outs(gt, albedo, None), gt, mask, HP,
+                            enable_surf=True)
+        np.testing.assert_array_equal(np.asarray(ic["chrom"]),
+                                      np.asarray(plain["chrom"]))
+
+    def test_stop_gradient_on_illuminant(self):
+        """The irradiance divisor is stop-grad: the chrom term's gradient
+        w.r.t. shading must be zero."""
+        import jax
+
+        B = 4
+        gt = jnp.ones((B, 3)) * 1.5
+        albedo = jnp.full((B, 3), 0.4)
+        mask = jnp.ones((B, 1))
+        hp_ic = dict(HP, **{"loss.chrom_illum_comp": True})
+
+        def chrom_of_shading(s):
+            parts = pano_losses(self._outs(gt, albedo, s), gt, mask, hp_ic,
+                                enable_surf=True)
+            return parts["chrom"]
+
+        g = jax.grad(chrom_of_shading)(jnp.full((B, 3), 2.0))
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
