@@ -214,6 +214,12 @@ VARIANTS = {
     # keeps the prior's regularization without pushing illuminant chroma
     # into albedo on chromatic scenes (duo attribution matrix).
     "chromic": {"loss.chrom_illum_comp": True},
+    # Combo: compensated chroma prior + the rgb-only cross-scale distill —
+    # the two targeted fixes for the duo chroma failure (illuminant chroma
+    # leaking into albedo; irradiance evidence riding the phantom blurred
+    # field) together.
+    "chromic_sd01": {"loss.chrom_illum_comp": True,
+                     "loss.scale_distill": 0.1},
     # Two-level secondary march (nerf.env_resample): the irradiance
     # evidence rides tight Gaussians at the primary-supervised IPE scale
     # instead of the blurred placement scale (the round-3 env-scale probe
