@@ -405,3 +405,75 @@ class TestChromIllumComp:
 
         g = jax.grad(chrom_of_shading)(jnp.full((B, 3), 2.0))
         np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+class TestScaleDistill:
+    """Cross-scale distillation split: rgb tie (loss.scale_distill) vs the
+    separate, measured-collapsing distance tie (loss.scale_distill_dist)."""
+
+    def _outs(self, gt, rgb_scale=None, dist_scale=None):
+        B = gt.shape[0]
+        return [level(gt), level(gt, rgb_scale=rgb_scale,
+                                 dist_scale=dist_scale)]
+
+    def test_rgb_tie_only_by_default_key(self):
+        """scale_distill alone must add ONLY the rgb term (the distance
+        tie collapses geometry and lives behind its own key)."""
+        B = 4
+        gt = jnp.ones((B, 3))
+        mask = jnp.ones((B, 1))
+        rgb_scale = jnp.full((B, 3), 0.5)
+        dist_scale = jnp.full((B,), 9.0)   # wildly wrong distance
+        hp = dict(HP, **{"loss.scale_distill": 0.1})
+        parts = pano_losses(self._outs(gt, rgb_scale, dist_scale), gt,
+                            mask, hp, enable_surf=False)
+        assert "scale_distill" in parts
+        assert "scale_distill_dist" not in parts
+        base = pano_losses(self._outs(gt), gt, mask, HP, enable_surf=False)
+        expect = float(base["loss"]) + 0.1 * float(parts["scale_distill"])
+        np.testing.assert_allclose(float(parts["loss"]), expect, rtol=1e-6)
+        # The rgb tie is the log1p-space masked MSE of the two composites
+        # (masked_mse normalizes by the mask count, so x3 over the mean).
+        sd = 3 * float(jnp.mean((jnp.log1p(rgb_scale) - jnp.log1p(gt)) ** 2))
+        np.testing.assert_allclose(float(parts["scale_distill"]), sd,
+                                   rtol=1e-5)
+
+    def test_distance_tie_behind_own_key(self):
+        B = 4
+        gt = jnp.ones((B, 3))
+        mask = jnp.ones((B, 1))
+        rgb_scale = jnp.full((B, 3), 1.0)
+        dist_scale = jnp.full((B,), 3.0)   # level() sets distance = 1
+        hp = dict(HP, **{"loss.scale_distill": 0.1,
+                         "loss.scale_distill_dist": 0.2})
+        parts = pano_losses(self._outs(gt, rgb_scale, dist_scale), gt,
+                            mask, hp, enable_surf=False)
+        assert "scale_distill_dist" in parts
+        np.testing.assert_allclose(float(parts["scale_distill_dist"]),
+                                   4.0, rtol=1e-6)   # (3-1)^2
+        base = pano_losses(self._outs(gt), gt, mask, HP, enable_surf=False)
+        expect = (float(base["loss"]) + 0.1 * float(parts["scale_distill"])
+                  + 0.2 * 4.0)
+        np.testing.assert_allclose(float(parts["loss"]), expect, rtol=1e-6)
+
+    def test_dist_key_alone_still_computes(self):
+        """scale_distill_dist > 0 with scale_distill == 0 must still run
+        (the systems' use_sd gate covers either key)."""
+        B = 4
+        gt = jnp.ones((B, 3))
+        mask = jnp.ones((B, 1))
+        hp = dict(HP, **{"loss.scale_distill_dist": 0.2})
+        parts = pano_losses(self._outs(gt, jnp.ones((B, 3)),
+                                       jnp.full((B,), 2.0)), gt, mask, hp,
+                            enable_surf=False)
+        assert "scale_distill_dist" in parts
+        np.testing.assert_allclose(float(parts["scale_distill_dist"]), 1.0,
+                                   rtol=1e-6)
+
+    def test_absent_products_no_term(self):
+        B = 4
+        gt = jnp.ones((B, 3))
+        mask = jnp.ones((B, 1))
+        hp = dict(HP, **{"loss.scale_distill": 0.1})
+        parts = pano_losses(self._outs(gt), gt, mask, hp, enable_surf=False)
+        assert "scale_distill" not in parts
