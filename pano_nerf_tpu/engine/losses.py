@@ -171,8 +171,21 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
                 # chromatic illumination the illuminant chroma no longer
                 # leaks into albedo. Falls back to the plain prior when
                 # the BRDF provides no separable irradiance (microfacet).
-                illum = jax.lax.stop_gradient(
-                    jnp.maximum(fine.shading, 1e-3))
+                #
+                # The divisor floor must be RELATIVE to the brightest
+                # shading channel, not absolute: chromaticity_loss
+                # unit-normalizes its target, so a channel whose estimated
+                # irradiance sits near an absolute floor turns GT noise
+                # into a nearly-pure-that-channel chroma target — measured
+                # runaway feedback on duo_cool seed 1 (the DARK R channel
+                # inflates 6.5 -> 18.3, HDR -9.2). The relative floor caps
+                # per-channel amplification at 1/rel of the bright
+                # channel's gain.
+                rel = float(hparams.get("loss.chrom_illum_floor", 0.1))
+                shading = jax.lax.stop_gradient(fine.shading)
+                floor = jnp.maximum(
+                    rel * jnp.max(shading, axis=-1, keepdims=True), 1e-3)
+                illum = jnp.maximum(shading, floor)
                 chrom = chromaticity_loss(rgbs_gt / illum, fine.albedo)
             else:
                 chrom = chromaticity_loss(ldr_gt, fine.albedo)

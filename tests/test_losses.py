@@ -406,6 +406,32 @@ class TestChromIllumComp:
         g = jax.grad(chrom_of_shading)(jnp.full((B, 3), 2.0))
         np.testing.assert_array_equal(np.asarray(g), 0.0)
 
+    def test_relative_floor_bounds_dark_channel_amplification(self):
+        """A shading channel near zero (dark channel of a chromatic
+        illuminant) must NOT turn GT noise into a dominant chroma target:
+        the divisor floor is relative to the brightest channel (measured
+        runaway on duo_cool seed 1 with an absolute floor)."""
+        B = 6
+        # Cool illuminant: R essentially unlit; GT's R is tiny noise.
+        shading = jnp.broadcast_to(jnp.asarray([1e-4, 1.0, 2.0]), (B, 3))
+        gt = jnp.broadcast_to(jnp.asarray([0.02, 0.6, 1.2]), (B, 3))
+        mask = jnp.ones((B, 1))
+        hp_ic = dict(HP, **{"loss.chrom_illum_comp": True})
+        # The correct gray albedo for the lit channels; with the relative
+        # floor the noisy R target stays small, so gray-ish albedo is
+        # near-optimal. With an absolute 1e-3 floor the R target would be
+        # 0.02/1e-3 = 20 -> a nearly pure-R normalized target.
+        albedo = jnp.full((B, 3), 0.6)
+        ic = pano_losses(self._outs(gt, albedo, shading), gt, mask, hp_ic,
+                         enable_surf=True)
+        # Target with relative floor: [0.02/0.2, 0.6, 0.6] -> unit norm has
+        # tiny R; loss vs gray albedo stays moderate (< the pure-R case).
+        assert float(ic["chrom"]) < 0.2
+        # And the floor is configurable.
+        hp_lo = dict(hp_ic, **{"loss.chrom_illum_floor": 1e-6})
+        lo = pano_losses(self._outs(gt, albedo, shading), gt, mask, hp_lo,
+                         enable_surf=True)
+        assert float(lo["chrom"]) > float(ic["chrom"]) * 2
 
 class TestScaleDistill:
     """Cross-scale distillation split: rgb tie (loss.scale_distill) vs the
