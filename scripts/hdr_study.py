@@ -220,6 +220,14 @@ VARIANTS = {
     # field) together.
     "chromic_sd01": {"loss.chrom_illum_comp": True,
                      "loss.scale_distill": 0.1},
+    # Compensated chroma prior + emissive decomposition on chromatic
+    # scenes: chromic recovers partial channel order on duo_cool by
+    # keeping illuminant chroma out of albedo; the emissive head gives
+    # the source an explicit view-independent channel to carry it. Probe
+    # whether the two compose (em at the LDR-near-parity b-6 recipe).
+    "chromic_em": {"loss.chrom_illum_comp": True,
+                   "nerf.emissive_head": True,
+                   "nerf.emission_bias": -6.0},
     # Two-level secondary march (nerf.env_resample): the irradiance
     # evidence rides tight Gaussians at the primary-supervised IPE scale
     # instead of the blurred placement scale (the round-3 env-scale probe
