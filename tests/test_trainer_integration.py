@@ -201,6 +201,39 @@ class TestTrainerLoop:
         assert train[-1].get("vol_surface") is not None
 
 
+class TestTensorboardMirror:
+    def test_tb_events_written(self, scene, tmp_path):
+        """log.tensorboard mirrors every _log record as kind/key scalars
+        under save_dir/tb (the configs default it on — reference parity
+        with Lightning's TB logger); the JSONL log is unchanged."""
+        from pano_nerf_tpu.engine.trainer import Trainer
+
+        out = str(tmp_path / "exp_tb")
+        os.makedirs(out, exist_ok=True)
+        hp = small_hparams(scene, out, steps=4)
+        assert hp["log.tensorboard"] is True  # shipped config default
+        trainer = Trainer(hp)
+        trainer.fit(sanity_val=False)
+        tb_dir = os.path.join(out, "tb")
+        events = [f for f in os.listdir(tb_dir) if "tfevents" in f]
+        assert events, f"no event files in {tb_dir}"
+        assert os.path.getsize(os.path.join(tb_dir, events[0])) > 0
+        assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+
+    def test_off_by_default_in_code(self, scene, tmp_path):
+        """A key-less hparams dict (bare Trainer construction) must not
+        create a writer or a tb/ directory."""
+        from pano_nerf_tpu.engine.trainer import Trainer
+
+        out = str(tmp_path / "exp_notb")
+        os.makedirs(out, exist_ok=True)
+        hp = small_hparams(scene, out, steps=2)
+        del hp["log.tensorboard"]
+        trainer = Trainer(hp)
+        assert trainer._tb is None
+        assert not os.path.exists(os.path.join(out, "tb"))
+
+
 class TestNanRecovery:
     """Failure recovery: a non-finite loss restores the last checkpoint and
     continues with a re-rolled batch stream (train.nan_recovery); with the
