@@ -14,9 +14,12 @@ Usage:
   python scripts/import_reference_ckpt.py --torch_ckpt last.ckpt \
       --out_dir ./exps_imported --config configs/panonerf.yaml [opts k v ...]
 
-The target model topology comes from --config + opts and must match the
-reference run's (nerf.mlp.* keys); mismatches fail with a per-tensor
-report. Runs on CPU — no TPU needed to convert.
+Model topology resolves in precedence order: --config defaults, then the
+checkpoint's own embedded hyper-parameters (the reference's LightningModule
+calls save_hyperparameters(hparams), systems/base_system.py:12, so every
+.ckpt carries its full dot-key config — all `nerf.*` keys are adopted
+automatically), then explicit CLI opts. Residual mismatches fail with a
+per-tensor report. Runs on CPU — no TPU needed to convert.
 """
 
 import argparse
@@ -29,22 +32,29 @@ import numpy as np
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-from pano_nerf_tpu.core.config import parse_args  # noqa: E402
+from pano_nerf_tpu.core.config import merge_from_list, parse_args  # noqa: E402
 from train import prepare_hparams  # noqa: E402
 
 
-def load_torch_state_dict(path: str) -> dict:
-    """Read a Lightning .ckpt or raw state_dict .pt as name->numpy."""
+def load_torch_checkpoint(path: str):
+    """Read a Lightning .ckpt or raw state_dict .pt.
+
+    Returns (state_dict as name->numpy, embedded hyper-parameter dict or
+    {} when absent).
+    """
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
+    hyper = {}
     if isinstance(obj, dict) and "state_dict" in obj:
+        hyper = dict(obj.get("hyper_parameters") or {})
         obj = obj["state_dict"]
     if not isinstance(obj, dict):
         raise ValueError(f"{path}: expected a dict-like checkpoint, got "
                          f"{type(obj).__name__}")
-    return {k: v.detach().cpu().numpy()
-            for k, v in obj.items() if hasattr(v, "detach")}
+    sd = {k: v.detach().cpu().numpy()
+          for k, v in obj.items() if hasattr(v, "detach")}
+    return sd, hyper
 
 
 def main() -> None:
@@ -60,6 +70,16 @@ def main() -> None:
                         help="dot-key overrides, e.g. nerf.mlp_name mipnerf")
     hparams = parse_args(parser)
     hparams["train.sample_num"] = hparams.get("train.sample_num", "n0")
+
+    sd, hyper = load_torch_checkpoint(hparams["torch_ckpt"])
+    # Adopt the checkpoint's own model topology (the reference saves its
+    # full dot-key config into every ckpt); explicit CLI opts still win.
+    topo = {k: v for k, v in hyper.items() if k.startswith("nerf.")}
+    if topo:
+        hparams.update(topo)
+        merge_from_list(hparams, hparams.get("opts") or [])
+        print(f"[import] adopted {len(topo)} nerf.* keys from the "
+              "checkpoint's hyper-parameters")
     hparams = prepare_hparams(hparams)
 
     import jax
@@ -70,8 +90,6 @@ def main() -> None:
     from pano_nerf_tpu.engine.checkpoint import Checkpointer
     from pano_nerf_tpu.engine.system import build_system
     from pano_nerf_tpu.utils.import_torch import convert_mlp_state_dict
-
-    sd = load_torch_state_dict(hparams["torch_ckpt"])
     system = build_system(hparams)
     state = system.create_state(jax.random.PRNGKey(hparams["seed"]))
     params = convert_mlp_state_dict(sd, jax.device_get(state.params))

@@ -182,3 +182,37 @@ class TestCliRoundTrip:
         got = np.asarray(restored.params["params"]["color"]["kernel"])
         want = m.state_dict()["color_layer.weight"].numpy().T
         np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    def test_auto_topology_from_hyper_parameters(self, tmp_path):
+        """A Lightning ckpt carries the reference run's full dot-key config
+        (save_hyperparameters, systems/base_system.py:12); the importer
+        must adopt its nerf.* keys, so a mipnerf checkpoint imports
+        correctly even when the CLI points at the panonerf config."""
+        torch.manual_seed(5)
+        m = ref_mip.PureMLP(net_depth=8, net_width=256,
+                            net_depth_condition=1, net_width_condition=128,
+                            skip_index=4, num_rgb_channels=3,
+                            num_density_channels=1, activation="relu",
+                            xyz_dim=XYZ_DIM, view_dim=VIEW_DIM)
+        ckpt_path = tmp_path / "mip_last.ckpt"
+        torch.save({
+            "state_dict": {f"mip_nerf.mlp.{k}": v
+                           for k, v in m.state_dict().items()},
+            "hyper_parameters": {"nerf.mlp_name": "mipnerf",
+                                 "nerf.mlp.num_density_channels": 1},
+        }, ckpt_path)
+
+        import subprocess
+        env_root = "/root/repo"
+        res = subprocess.run(
+            [sys.executable, f"{env_root}/scripts/import_reference_ckpt.py",
+             "--torch_ckpt", str(ckpt_path),
+             "--out_dir", str(tmp_path / "exps"),
+             "--config", f"{env_root}/configs/panonerf.yaml"],
+            capture_output=True, text=True, cwd=env_root)
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "adopted" in res.stdout
+        # The experiment dir is named after the ADOPTED model family.
+        import json
+        rec = json.loads(res.stdout.strip().splitlines()[-1])
+        assert "mipnerf" in rec["ckpt_dir"]
