@@ -234,6 +234,23 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
                 jnp.log1p(compute_illumination(jax.nn.relu(fine.rgb_alt))),
                 jnp.log1p(compute_illumination(jax.nn.relu(fine.rgb))),
                 mask)
+            if bool(hparams.get("loss.vc_sat_mask", False)):
+                # Saturation-masked per-channel tie on top of the luma
+                # tie: where a GT channel is UNSATURATED the primary
+                # view's value for it is trustworthy (the vol loss pins
+                # it), so tying that channel across views transmits REAL
+                # chroma — while saturated channels stay luma-only (their
+                # primary-view spectrum is knee-flattened, the signal the
+                # plain per-channel tie wrongly propagated). Motivated by
+                # the duo scenes: each opposite-chroma source keeps one
+                # channel below the knee (warm B 6.5, cool R 6.5 < 7.24),
+                # exactly the anchor this mask exposes per channel.
+                unsat = (ldr_gt < 1.0).astype(fine.rgb.dtype) * mask
+                diff = (jnp.log1p(jax.nn.relu(fine.rgb_alt))
+                        - jnp.log1p(jax.nn.relu(fine.rgb)))
+                vc_ch = jnp.sum(unsat * diff ** 2) / jnp.maximum(
+                    jnp.sum(unsat), 1.0)
+                vc = vc + vc_ch
         else:
             vc = masked_mse(jnp.log1p(jax.nn.relu(fine.rgb_alt)),
                             jnp.log1p(jax.nn.relu(fine.rgb)), mask)

@@ -263,6 +263,15 @@ VARIANTS = {
     # the irradiance evidence (the vc0 probe showed the per-channel tie
     # suppresses the B channel's correct downward separation).
     "vcl": {"loss.vc_luma": True},
+    # Saturation-masked per-channel tie ON TOP of the luma tie: channels
+    # whose GT is unsaturated carry trustworthy primary-view chroma (the
+    # vol loss pins them), so tying exactly those across views transmits
+    # real chroma while saturated channels stay luma-only. On the duo
+    # scenes each opposite-chroma source keeps one channel below the
+    # knee — the anchor this mask exposes.
+    "vcsm": {"loss.vc_sat_mask": True},
+    "vcsm_chromic": {"loss.vc_sat_mask": True,
+                     "loss.chrom_illum_comp": True},
 }
 
 

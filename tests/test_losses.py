@@ -185,6 +185,47 @@ class TestStabilizerLosses:
             float(p["loss"]) - float(p0["loss"]), 0.1 * gap,
             rtol=1e-5)
 
+    def test_vc_sat_mask_per_channel_tie(self):
+        """loss.vc_sat_mask adds a per-channel log1p tie ONLY on channels
+        whose GT is unsaturated; fully saturated GT reduces it bitwise to
+        the plain luma tie, and the key off is bitwise-shipped behavior."""
+        from pano_nerf_tpu.engine.losses import SATURATION_KNEE
+        B = 4
+        rgb = jnp.full((B, 3), 2.0)
+        outs = [level(rgb),
+                level(rgb, ort_loss=None, rgb_alt=jnp.full((B, 3), 6.0))]
+        mask = jnp.ones((B, 1))
+        gap = float(
+            (jnp.log1p(jnp.asarray(6.0)) - jnp.log1p(jnp.asarray(2.0)))
+            ** 2)
+        hp_on = dict(HP_PROD, **{"loss.vc_sat_mask": True})
+
+        # All GT channels unsaturated: luma tie + full 3-channel mean tie
+        # (per-channel normalizer counts channel entries, so the extra
+        # term equals one gap, not three).
+        gt_unsat = jnp.ones((B, 3))
+        p = pano_losses(outs, gt_unsat, mask, hp_on, enable_surf=False)
+        np.testing.assert_allclose(float(p["vc"]), 2 * gap, rtol=1e-6)
+
+        # All GT channels saturated: bitwise the plain luma tie.
+        gt_sat = jnp.full((B, 3), 2 * SATURATION_KNEE)
+        p_sat = pano_losses(outs, gt_sat, mask, hp_on, enable_surf=False)
+        p_luma = pano_losses(outs, gt_sat, mask, HP_PROD, enable_surf=False)
+        assert float(p_sat["vc"]) == float(p_luma["vc"])
+
+        # Mixed: one unsaturated channel out of three contributes with a
+        # per-entry normalizer over the unsaturated count only.
+        gt_mix = jnp.stack([jnp.full((B,), 2 * SATURATION_KNEE),
+                            jnp.full((B,), 2 * SATURATION_KNEE),
+                            jnp.ones((B,))], axis=-1)
+        p_mix = pano_losses(outs, gt_mix, mask, hp_on, enable_surf=False)
+        np.testing.assert_allclose(float(p_mix["vc"]), 2 * gap, rtol=1e-6)
+
+        # Key absent = shipped behavior, bitwise.
+        p_off = pano_losses(outs, gt_unsat, mask, HP_PROD,
+                            enable_surf=False)
+        np.testing.assert_allclose(float(p_off["vc"]), gap, rtol=1e-6)
+
     def test_unclipped_pred_tonemap_restores_gradient(self):
         """Past-knee predictions keep a restoring gradient toward an
         unsaturated GT channel (the clamp would zero it)."""
