@@ -111,7 +111,10 @@ def gen_render_path(c2ws: np.ndarray, n_views: int = 30) -> np.ndarray:
     N = len(c2ws)
     rotvec, positions = [], []
     rot_interp, pos_interp = [], []
-    weight = np.linspace(1.0, 0.0, n_views // 3, endpoint=False).reshape(-1, 1)
+    # At least one interpolant per segment: n_views < 3 would otherwise
+    # produce an empty path (np.stack of nothing) — unchanged for >= 3.
+    weight = np.linspace(1.0, 0.0, max(1, n_views // 3),
+                         endpoint=False).reshape(-1, 1)
     for i in range(N):
         euler = _matrix_to_euler_xyz(c2ws[i, :3, :3]).reshape(1, 3)
         if i:

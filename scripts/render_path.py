@@ -54,6 +54,12 @@ def main():
     parser.add_argument("--n_views", type=int, default=30)
     parser.add_argument("--path", choices=["interp", "spheric"],
                         default="interp")
+    parser.add_argument("--video", default=None,
+                        help="also stitch the LDR frames into this file "
+                             "(.gif works everywhere; .mp4 needs an "
+                             "imageio ffmpeg backend — skipped with a "
+                             "notice if unavailable)")
+    parser.add_argument("--fps", type=int, default=15)
     parser.add_argument("--range", nargs="+", type=float, default=[0, 10])
     parser.add_argument("--config", default="./configs/panonerf.yaml")
     parser.add_argument("--meta_file", default="transforms_all")
@@ -97,15 +103,28 @@ def main():
         enable_surf=isinstance(system, PanoNeRFSystem))
     near, far = hparams["range"]
     os.makedirs(hparams["out"], exist_ok=True)
+    ldr_frames = []
     for i, origin in enumerate(origins):
         rays = pano_rays_for_pose(np.asarray(origin), ds.h, ds.w, near, far)
         products = render_full_pano(render_fn, state.params, rays, ds.h, ds.w)
+        ldr = np.asarray(hdr_to_ldr(products["rgb_fine"]))
         save_results(products["rgb_fine"],
                      os.path.join(hparams["out"], f"{i:04d}.exr"))
-        save_results(np.asarray(hdr_to_ldr(products["rgb_fine"])),
-                     os.path.join(hparams["out"], f"{i:04d}.png"))
+        save_results(ldr, os.path.join(hparams["out"], f"{i:04d}.png"))
+        if hparams.get("video"):
+            ldr_frames.append(
+                (np.clip(ldr, 0, 1) * 255).astype(np.uint8))
         print(f"[render_path] frame {i + 1}/{len(origins)}")
     print(f"[render_path] wrote {len(origins)} frames to {hparams['out']}")
+    if hparams.get("video"):
+        try:
+            import imageio
+            imageio.mimsave(hparams["video"], ldr_frames,
+                            fps=int(hparams["fps"]))
+            print(f"[render_path] wrote video {hparams['video']}")
+        except Exception as e:  # missing wheel/codec: frames still on disk
+            print(f"[render_path] video export skipped "
+                  f"({type(e).__name__}: {e})")
 
 
 if __name__ == "__main__":

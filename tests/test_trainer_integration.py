@@ -405,6 +405,51 @@ class TestMultiStepScan:
                                    atol=0.05)
 
 
+class TestRenderPathScript:
+    def test_render_path_cli_with_video(self, scene, tmp_path, monkeypatch):
+        """scripts/render_path.py renders a novel-view pose path from a
+        checkpoint (EXR + PNG per frame) and stitches the --video GIF."""
+        import importlib.util
+        import sys as _sys
+
+        from pano_nerf_tpu.engine.trainer import Trainer
+
+        out = str(tmp_path / "panonerf_0_1_2")
+        os.makedirs(out, exist_ok=True)
+        hp = small_hparams(scene, out, steps=2)
+        Trainer(hp).fit(sanity_val=False)
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        frames = str(tmp_path / "frames")
+        video = str(tmp_path / "fly.gif")
+        argv = ["render_path.py", "--data_path", scene, "--ckpt_dir", out,
+                "--config", os.path.join(root, "configs", "panonerf.yaml"),
+                "--out", frames, "--n_views", "6", "--video", video,
+                "--out_dir", str(tmp_path / "exps"),
+                "train.factor", "1", "val.factor", "1",
+                "train.sample_num", "'n0_1_2'",
+                "train.batch_size", "32", "train.precision", "f32",
+                "nerf.num_samples", "4", "nerf.num_env_samples", "2",
+                "nerf.num_ray_samples", "2", "optimizer.max_steps", "2",
+                "val.check_every_n_epoch", "1000000",
+                "val.chunk_size", "128", "parallel.num_devices", "2"]
+        monkeypatch.setattr(_sys, "argv", argv)
+        spec = importlib.util.spec_from_file_location(
+            "render_path_script",
+            os.path.join(root, "scripts", "render_path.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.main()
+
+        written = sorted(f for f in os.listdir(frames)
+                         if f.endswith(".exr"))
+        assert len(written) >= 2, written
+        for f in written:
+            assert os.path.exists(
+                os.path.join(frames, f.replace(".exr", ".png")))
+        assert os.path.getsize(video) > 0
+
+
 class TestEvalScript:
     def test_eval_cli_after_fit(self, scene, tmp_path, monkeypatch):
         """scripts/eval.py restores a checkpoint and reproduces the
