@@ -128,3 +128,21 @@ def convert_mlp_state_dict(state_dict: Mapping[str, Leaf],
         raise ValueError("reference checkpoint does not match the target "
                          "model:\n  " + "\n  ".join(problems))
     return {"params": out}
+
+
+def export_mlp_state_dict(params: Mapping,
+                          prefix: str = "mip_nerf.mlp.") -> Dict[str, Leaf]:
+    """Inverse of convert_mlp_state_dict: flax params -> reference keys.
+
+    Emits the tensor names a reference Lightning checkpoint carries (the
+    default prefix matches systems/base_system.py:26's `self.mip_nerf`),
+    kernels transposed back to torch's [out, in]. The result round-trips
+    bit-exactly through convert_mlp_state_dict.
+    """
+    out: Dict[str, Leaf] = {}
+    for flax_name, leaves in params["params"].items():
+        tname = f"{prefix}{_torch_name(flax_name)}"
+        out[f"{tname}.weight"] = np.asarray(leaves["kernel"],
+                                            dtype=np.float32).T
+        out[f"{tname}.bias"] = np.asarray(leaves["bias"], dtype=np.float32)
+    return out
