@@ -119,8 +119,13 @@ def main():
     if hparams.get("video"):
         try:
             import imageio
-            imageio.mimsave(hparams["video"], ldr_frames,
-                            fps=int(hparams["fps"]))
+            if hparams["video"].lower().endswith(".gif"):
+                # GIF writers take per-frame duration (ms), not fps.
+                imageio.mimsave(hparams["video"], ldr_frames,
+                                duration=1000.0 / int(hparams["fps"]))
+            else:
+                imageio.mimsave(hparams["video"], ldr_frames,
+                                fps=int(hparams["fps"]))
             print(f"[render_path] wrote video {hparams['video']}")
         except Exception as e:  # missing wheel/codec: frames still on disk
             print(f"[render_path] video export skipped "
