@@ -167,8 +167,24 @@ class BaseSystem:
     # ----- rendering helpers --------------------------------------------
 
     def _chunked(self, render_chunk, rays: Rays, num_rays: int):
-        """Pad to a chunk multiple and lax.map the chunk renderer."""
+        """Pad to a chunk multiple and lax.map the chunk renderer.
+
+        On a multi-device mesh each chunk is additionally split over the
+        `data` axis with shard_map — rays are per-ray independent, so the
+        per-device programs run collective-free and rendering scales like
+        training does (the reference has no multi-device eval at all).
+        lax.map stays the outer loop either way: it bounds peak memory to
+        one chunk of activations per device.
+        """
         chunk = self.val_chunk_size
+        n_dev = int(self.mesh.devices.size)
+        if n_dev > 1 and chunk % n_dev == 0:
+            from jax.sharding import PartitionSpec as P
+            render_chunk = jax.shard_map(
+                render_chunk, mesh=self.mesh,
+                in_specs=P(mesh_lib.DATA_AXIS),
+                out_specs=P(mesh_lib.DATA_AXIS),
+                check_vma=False)
         n = num_rays
         pad = (-n) % chunk
         padded = rays_map(

@@ -101,6 +101,42 @@ class TestSPMDTrainStep:
         assert int(jax.device_get(state.step)) == 3
 
 
+class TestSPMDEval:
+    def test_sharded_render_matches_single_device(self, built):
+        """The chunk renderer shard_maps each chunk over the data axis on
+        a multi-device mesh; rays are per-ray independent, so the sharded
+        render must match single-device bit-for-bit-close."""
+        batch, build = built
+        n = 48  # 3 chunks of 16 with chunk_size below
+        rays = make_rays(n)
+
+        outs = {}
+        for n_dev in (1, 8):
+            system, state = build(n_dev)
+            system.val_chunk_size = 16  # 16 % 8 == 0 -> shard_map engages
+            render = system.make_render_image(enable_surf=True)
+            outs[n_dev] = jax.device_get(render(state.params, rays))
+
+        assert set(outs[1]) == set(outs[8])
+        for k in outs[1]:
+            # Per-device matmul shapes change the CPU backend's reduction
+            # tiling, so FMA order differs by ~1e-7; the normals chain
+            # amplifies that to ~1e-5 (measured). Logic parity, float
+            #-order noise.
+            np.testing.assert_allclose(outs[1][k], outs[8][k], atol=1e-4,
+                                       err_msg=k)
+
+    def test_indivisible_chunk_falls_back(self, built):
+        """chunk_size not divisible by the device count renders unsharded
+        (correctness over scaling) instead of erroring."""
+        batch, build = built
+        system, state = build(8)
+        system.val_chunk_size = 12  # 12 % 8 != 0
+        render = system.make_render_image(enable_surf=True)
+        out = jax.device_get(render(state.params, make_rays(24)))
+        assert np.isfinite(out["rgb_fine"]).all()
+
+
 class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__ as ge
