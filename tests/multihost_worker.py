@@ -87,9 +87,20 @@ def main():
     sloss = float(jax.device_get(sparts["loss"]))
     assert np.isfinite(sloss), sloss
 
+    # Sharded evaluation across the 2-process mesh: the chunk renderer
+    # shard_maps over the global data axis (engine/system.py::_chunked,
+    # chunk 8 over 4 devices -> 2 rays/device), every rank reading back
+    # the (replicated-output) fine rgb mean for cross-rank agreement.
+    system.val_chunk_size = 8
+    render = system.make_render_image(enable_surf=True)
+    rout = render(dstate.params, _make_rays(16, seed=5))
+    rmean = float(jax.device_get(jax.numpy.mean(rout["rgb_fine"])))
+    assert np.isfinite(rmean), rmean
+
     print("RESULT " + json.dumps({"pid": pid, "loss": loss,
                                   "device_data_loss": dloss,
-                                  "scan_loss": sloss}), flush=True)
+                                  "scan_loss": sloss,
+                                  "render_mean": rmean}), flush=True)
 
 
 if __name__ == "__main__":

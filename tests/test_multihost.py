@@ -72,3 +72,7 @@ def test_two_process_train_step():
     slosses = [r["scan_loss"] for r in results]
     assert np.isfinite(slosses).all()
     assert abs(slosses[0] - slosses[1]) < 1e-6, slosses
+    # Sharded eval renderer across the 2-process mesh: rank-identical.
+    rmeans = [r["render_mean"] for r in results]
+    assert np.isfinite(rmeans).all()
+    assert abs(rmeans[0] - rmeans[1]) < 1e-6, rmeans
