@@ -161,7 +161,10 @@ def _intersect_box(origins: np.ndarray, dirs: np.ndarray,
             idx = np.where(valid)[0][inside]
             t_best[idx] = t[idx]
             face[idx] = f
-    pts = origins + t_best[:, None] * dirs
+    # Edge-grazing rays can miss every face within tolerance (t = inf);
+    # their hit point is undefined (inf * 0 -> nan) — callers filter by t.
+    with np.errstate(invalid="ignore"):
+        pts = origins + t_best[:, None] * dirs
     return t_best, pts, face
 
 
