@@ -96,12 +96,17 @@ def _surface_points(spec, n_points: int, seed: int):
 
 
 def _composite(model, params, means, covs, t_s, dirs_flat):
-    """Composite radiance along flattened secondary rays [R, S, 3]."""
+    """Composite radiance along flattened secondary rays [R, S, 3].
+
+    Returns (composite [R, 3], per-sample weights [R, S], per-sample
+    rgb [R, S, 3], acc [R]).
+    """
     raw_rgb, raw_den = model._raw_outputs(params, means, covs, dirs_flat)[:2]
     rgb, den = model._activate_rgb_density(
         raw_rgb, raw_den, jax.random.PRNGKey(1), False)
     vr = mip.volumetric_rendering(rgb, den, t_s, dirs_flat, False)
-    return np.asarray(vr[0])
+    return (np.asarray(vr[0]), np.asarray(vr[3]), np.asarray(rgb),
+            np.asarray(vr[2]))
 
 
 def attribute(params, model, env_rays, spec, n_points: int = 64,
@@ -123,9 +128,11 @@ def attribute(params, model, env_rays, spec, n_points: int = 64,
         k, jnp.asarray(pts), jnp.asarray(dirs), model.num_env_samples,
         env_rays.near, env_rays.far, env_rays.radii, False)
     S = model.num_env_samples
-    env_comp = _composite(
+    env_comp, env_w, env_rgb_s, env_acc = _composite(
         model, params, m_e.reshape(N * D, S, 3), c_e.reshape(N * D, S, 3),
         t_e.reshape(N * D, S + 1), vd.reshape(N * D, 3))
+    t_env = np.asarray(t_e).reshape(N * D, S + 1)
+    tm_env = 0.5 * (t_env[:, :-1] + t_env[:, 1:])                # [N*D, S]
 
     # Fine-scale march of the same rays, ending just past the GT hit.
     box_diag = 2.0 * float(np.linalg.norm(spec.box))
@@ -136,7 +143,7 @@ def attribute(params, model, env_rays, spec, n_points: int = 64,
     fine_comp = _composite(
         model, params, m_f.reshape(N * D, fine_samples, 3),
         c_f.reshape(N * D, fine_samples, 3),
-        t_f.reshape(N * D, fine_samples + 1), vd.reshape(N * D, 3))
+        t_f.reshape(N * D, fine_samples + 1), vd.reshape(N * D, 3))[0]
 
     above = (cos > 0.0) & np.isfinite(t_hit)
     total_cos = float(cos[above].sum()) or 1.0
@@ -156,6 +163,26 @@ def attribute(params, model, env_rays, spec, n_points: int = 64,
             for key, val in (("env_rgb", env_comp), ("fine_rgb", fine_comp),
                              ("gt_seen_rgb", gt_rgb)):
                 row[key] = [round(float(x), 3) for x in val[m].mean(0)]
+            # Under-read decomposition along these rays (env scale): how
+            # much compositing weight lands BEFORE the GT hit (phantom
+            # occluders), AT/past it (the source's own depth), and what
+            # radiance the field paints there — separating "the march is
+            # occluded by phantom density" from "the blurred radiance at
+            # the source depth is diluted/wrong".
+            at_src = tm_env[m] >= 0.8 * t_hit[m][:, None]        # [P, S]
+            w_m = env_w[m]
+            w_at = (w_m * at_src).sum(-1)
+            row["env_w_before"] = round(float((w_m * ~at_src).sum(-1)
+                                              .mean()), 4)
+            row["env_w_at_source"] = round(float(w_at.mean()), 4)
+            row["env_acc"] = round(float(env_acc[m].mean()), 4)
+            num = (w_m[..., None] * at_src[..., None]
+                   * env_rgb_s[m]).sum(1)
+            rgb_at = num / np.maximum(w_at, 1e-6)[:, None]
+            row["env_rgb_at_source"] = [
+                round(float(x), 3)
+                for x in rgb_at[w_at > 1e-3].mean(0)] \
+                if (w_at > 1e-3).any() else None
             # Chroma = channel fractions; flat spectrum -> [1/3, 1/3, 1/3].
             for key in ("env_rgb", "fine_rgb", "gt_seen_rgb"):
                 v = np.asarray(row[key], np.float64)
