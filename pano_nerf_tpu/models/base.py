@@ -115,6 +115,20 @@ class BaseNeRF:
     # radiance, at the scale the primary views actually supervise.
     env_resample: bool = False
     num_env_fine_samples: int = 5
+    # Tight-scale radiance re-read on the secondary (irradiance) march —
+    # the round-3 attribution probe's blur-dilution fix. The probe showed
+    # the blurred march PLACES weight correctly (83% reaches the true
+    # source depth) but the radiance it reads there is diluted ~20x: the
+    # env-scale IPE Gaussian averages a small emitter with its
+    # surrounding wall, smearing per-channel evidence across directions
+    # (NOTES.md round-3 attribution probe). With env_tight_rgb = s > 0,
+    # occlusion/weights keep the robust blurred march, but the composited
+    # radiance is re-read at the SAME sample means with covariances
+    # scaled by s — s ~ 0.01 matches the fine primary scale, coupling the
+    # color evidence to the field the primary views actually supervise
+    # (per-channel anchors below the knee) without the CDF feedback loop
+    # that broke env_resample. 0 disables (bitwise reference parity).
+    env_tight_rgb: float = 0.0
     compute_dtype: Any = jnp.bfloat16
     # Force the fused Pallas MLP kernels on for ALL subgraphs (including
     # training). Default off for training: XLA compiles the train step to
@@ -308,6 +322,7 @@ class BaseNeRF:
             env_resample=bool(hparams.get("nerf.env_resample", False)),
             num_env_fine_samples=int(
                 hparams.get("nerf.num_env_fine_samples", 5)),
+            env_tight_rgb=float(hparams.get("nerf.env_tight_rgb", 0.0)),
             num_coarse_samples=int(
                 hparams.get("nerf.num_coarse_samples", 0)),
             compute_dtype=dtype,

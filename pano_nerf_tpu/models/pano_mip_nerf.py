@@ -233,6 +233,7 @@ class PanoMipNeRF(BaseNeRF):
         if (first_order and self.use_render_kernel
                 and self.fused_scope == "all"
                 and self._fused_ok("fine") and self.append_identity
+                and self.env_tight_rgb == 0
                 and (not randomized
                      or (self.density_noise == 0
                          and self._env_mode() == "fixed"))):
@@ -521,7 +522,8 @@ class PanoMipNeRF(BaseNeRF):
                 # Secondary radiance query: [B, D, S, .] — always first-order
                 # (its output feeds the loss directly), so may always fuse.
                 if (use_tk and self.train_kernel_scope in ("all", "env")
-                        and not self.env_resample):
+                        and not self.env_resample
+                        and self.env_tight_rgb == 0):
                     B, D, S2 = lit_means.shape[:3]
                     re = train_kernel_level(
                         lit_means.reshape(B * D, S2, 3),
@@ -537,6 +539,21 @@ class PanoMipNeRF(BaseNeRF):
                     env_vr = mip.volumetric_rendering(
                         e_rgb, e_density, lit_t, lit_dirs, white_bkgd=False)
                     env_rgb = env_vr[0]
+                    if self.env_tight_rgb > 0 and not self.env_resample:
+                        # Blur-dilution fix (BaseNeRF.env_tight_rgb): the
+                        # blurred march keeps occlusion/placement, but the
+                        # radiance carried to the irradiance integral is
+                        # re-read at the same means with fine-scale
+                        # covariances — per-channel color evidence stops
+                        # being IPE-averaged with the emitter's
+                        # surroundings and rides the primary-supervised
+                        # scale instead.
+                        tight_graph = make_graph(
+                            lit_covs * self.env_tight_rgb, lit_dirs, None,
+                            fused=True)
+                        t_rgb, _, _, _ = tight_graph(lit_means)
+                        env_rgb = jnp.sum(
+                            env_vr[3][..., None] * t_rgb, axis=-2)
                     if self.env_resample:
                         # Two-level irradiance march: the blurred pass above
                         # only PLACES the tight second march that carries the

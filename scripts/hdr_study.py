@@ -272,6 +272,18 @@ VARIANTS = {
     "vcsm": {"loss.vc_sat_mask": True},
     "vcsm_chromic": {"loss.vc_sat_mask": True,
                      "loss.chrom_illum_comp": True},
+    # Tight-scale radiance re-read on the secondary march (blur-dilution
+    # fix, BaseNeRF.env_tight_rgb): the attribution probe measured 83% of
+    # the blurred march's weight reaching the true source depth but
+    # reading ~0.3 radiance vs GT 6.5-9.5 — the env-scale IPE averages the
+    # small emitter with its surrounding wall, smearing per-channel
+    # evidence. etr reads color at the fine primary scale (cov x0.01);
+    # etr1 at an intermediate scale (x0.1).
+    "etr": {"nerf.env_tight_rgb": 0.01},
+    "etr1": {"nerf.env_tight_rgb": 0.1},
+    # Composition with the saturation-masked chroma tie: tight color
+    # evidence + cross-view transmission of the unsaturated anchors.
+    "etr_vcsm": {"nerf.env_tight_rgb": 0.01, "loss.vc_sat_mask": True},
 }
 
 

@@ -515,6 +515,74 @@ class TestEnvResample:
         assert np.isfinite(np.asarray(out[-1].surf_rgb)).all()
 
 
+class TestEnvTightRgb:
+    """Tight-scale radiance re-read on the secondary march
+    (BaseNeRF.env_tight_rgb): occlusion/weights keep the blurred march,
+    the composited radiance is re-read at fine-scale covariances — the
+    round-3 blur-dilution fix (attribution probe, NOTES.md)."""
+
+    def test_scale_one_matches_baseline(self, pano, envrays):
+        """cov x1.0 re-reads the identical Gaussians: surf_rgb must match
+        the standard path (same weights, same radiance)."""
+        import dataclasses
+        m, p = pano
+        m1 = dataclasses.replace(m, env_tight_rgb=1.0)
+        rays = make_rays(5, key=13)
+        kw = dict(randomized=True, white_bkgd=False, enable_surf=True,
+                  use_ort_loss=False)
+        base = m(p, jax.random.PRNGKey(4), rays, envrays, **kw)
+        tight = m1(p, jax.random.PRNGKey(4), rays, envrays, **kw)
+        np.testing.assert_allclose(np.asarray(tight[-1].surf_rgb),
+                                   np.asarray(base[-1].surf_rgb),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(tight[-1].rgb),
+                                      np.asarray(base[-1].rgb))
+
+    def test_tight_scale_changes_radiance_and_is_finite(self, pano,
+                                                        envrays):
+        import dataclasses
+        m, p = pano
+        m01 = dataclasses.replace(m, env_tight_rgb=0.01)
+        rays = make_rays(5, key=13)
+        kw = dict(randomized=True, white_bkgd=False, enable_surf=True,
+                  use_ort_loss=False)
+        base = m(p, jax.random.PRNGKey(4), rays, envrays, **kw)
+        tight = m01(p, jax.random.PRNGKey(4), rays, envrays, **kw)
+        f = tight[-1]
+        assert np.isfinite(np.asarray(f.surf_rgb)).all()
+        # The blurred vs tight IPE features differ, so the re-read
+        # radiance must actually move the irradiance integral.
+        assert not np.allclose(np.asarray(f.surf_rgb),
+                               np.asarray(base[-1].surf_rgb))
+        # The volumetric (primary) products are untouched by the knob.
+        np.testing.assert_array_equal(np.asarray(f.rgb),
+                                      np.asarray(base[-1].rgb))
+
+    def test_gradients_flow_and_finite(self, pano, envrays):
+        import dataclasses
+        m, p = pano
+        m01 = dataclasses.replace(m, env_tight_rgb=0.01)
+        rays = make_rays(4, key=9)
+
+        def loss(p):
+            out = m01(p, jax.random.PRNGKey(2), rays, envrays,
+                      randomized=True, white_bkgd=False, enable_surf=True,
+                      use_ort_loss=False)
+            return jnp.mean(out[-1].surf_rgb ** 2)
+
+        g = jax.grad(loss)(p)
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+        assert sum(float(jnp.sum(jnp.abs(x))) for x in leaves) > 0.0
+
+    def test_keyless_config_stays_off(self):
+        """A config predating the key keeps strict parity (knob off)."""
+        hp = dict(_minimal_nerf_hparams())
+        hp.pop("nerf.env_tight_rgb", None)
+        m = PanoMipNeRF.from_hparams(hp)
+        assert m.env_tight_rgb == 0.0
+
+
 class TestScaleDistill:
     """Cross-scale self-distillation (loss.scale_distill): the primary ray
     re-marched at the secondary-march IPE scale must expose rgb_scale /
