@@ -134,6 +134,22 @@ def attribute(params, model, env_rays, spec, n_points: int = 64,
     t_env = np.asarray(t_e).reshape(N * D, S + 1)
     tm_env = 0.5 * (t_env[:, :-1] + t_env[:, 1:])                # [N*D, S]
 
+    # Tight-scale color re-read (BaseNeRF.env_tight_rgb): when the model
+    # trains with the blur-dilution fix, the irradiance integral
+    # composites rgb read at scaled covariances against the blurred
+    # weights — report THAT quantity so the probe measures what training
+    # actually consumed (and whether the dilution is gone).
+    tight_comp, tight_rgb_s = None, None
+    if getattr(model, "env_tight_rgb", 0.0) > 0:
+        raw_rgb_t, raw_den_t = model._raw_outputs(
+            params, m_e.reshape(N * D, S, 3),
+            (c_e * model.env_tight_rgb).reshape(N * D, S, 3),
+            vd.reshape(N * D, 3))[:2]
+        rgb_t, _ = model._activate_rgb_density(
+            raw_rgb_t, raw_den_t, jax.random.PRNGKey(1), False)
+        tight_rgb_s = np.asarray(rgb_t)                  # [N*D, S, 3]
+        tight_comp = (env_w[..., None] * tight_rgb_s).sum(-2)
+
     # Fine-scale march of the same rays, ending just past the GT hit.
     box_diag = 2.0 * float(np.linalg.norm(spec.box))
     far = jnp.asarray(np.minimum(t_hit + 0.5, box_diag).reshape(N, D, 1))
@@ -163,6 +179,9 @@ def attribute(params, model, env_rays, spec, n_points: int = 64,
             for key, val in (("env_rgb", env_comp), ("fine_rgb", fine_comp),
                              ("gt_seen_rgb", gt_rgb)):
                 row[key] = [round(float(x), 3) for x in val[m].mean(0)]
+            if tight_comp is not None:
+                row["tight_rgb"] = [round(float(x), 3)
+                                    for x in tight_comp[m].mean(0)]
             # Under-read decomposition along these rays (env scale): how
             # much compositing weight lands BEFORE the GT hit (phantom
             # occluders), AT/past it (the source's own depth), and what
@@ -183,6 +202,16 @@ def attribute(params, model, env_rays, spec, n_points: int = 64,
                 round(float(x), 3)
                 for x in rgb_at[w_at > 1e-3].mean(0)] \
                 if (w_at > 1e-3).any() else None
+            if tight_rgb_s is not None and (w_at > 1e-3).any():
+                # The dilution headline number at the TIGHT read: what
+                # radiance the fix delivers at the source depth (vs
+                # env_rgb_at_source's blurred, ~20x-diluted value).
+                num_t = (w_m[..., None] * at_src[..., None]
+                         * tight_rgb_s[m]).sum(1)
+                rgb_at_t = num_t / np.maximum(w_at, 1e-6)[:, None]
+                row["tight_rgb_at_source"] = [
+                    round(float(x), 3)
+                    for x in rgb_at_t[w_at > 1e-3].mean(0)]
             # Chroma = channel fractions; flat spectrum -> [1/3, 1/3, 1/3].
             for key in ("env_rgb", "fine_rgb", "gt_seen_rgb"):
                 v = np.asarray(row[key], np.float64)

@@ -87,3 +87,20 @@ class TestAttribute:
             for key in ("env_chroma", "fine_chroma", "gt_seen_chroma"):
                 if key in row:
                     assert abs(sum(row[key]) - 1.0) < 2e-3
+
+    def test_tight_read_reported_for_etr_models(self):
+        """With env_tight_rgb > 0 the probe reports the tight-scale color
+        read training actually composites (tight_rgb[_at_source])."""
+        model = PanoMipNeRF(num_samples=8, num_env_samples=4,
+                            env_tight_rgb=0.01,
+                            compute_dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0))
+        spec = synthetic.SCENE_VARIANTS["duo"]
+        rep = attribute(params, model, _env_rays(d=24), spec,
+                        n_points=48, seed=0, fine_samples=16)
+        src = [r for r in rep["rows"] if r["class"].startswith("source")
+               and r["pairs"] > 0]
+        assert src, "no source rows with pairs"
+        for row in src:
+            assert "tight_rgb" in row
+            assert np.isfinite(np.asarray(row["tight_rgb"])).all()
