@@ -129,6 +129,19 @@ class BaseNeRF:
     # (per-channel anchors below the knee) without the CDF feedback loop
     # that broke env_resample. 0 disables (bitwise reference parity).
     env_tight_rgb: float = 0.0
+    # Hybrid combine for the tight re-read (requires env_tight_rgb > 0).
+    # The 44k scale ladder measured a clean decomposition: the blurred
+    # read carries the right INTENSITY but a knee-flattened/warm-flipped
+    # spectrum, while the tight read carries the right CHANNEL ORDER but
+    # under-reads small emitters (tight Gaussians miss the sub-cell
+    # source) and costs ~3 dB LDR when it carries the full radiance.
+    # With env_tight_chroma, the irradiance integral keeps the blurred
+    # read's luma and takes only the CHROMA from the tight read:
+    #   env_rgb = luma(blur) * (tight + c) / (luma(tight) + c),
+    # c = env_tight_chroma_eps, so a tight-scale miss (tight -> 0)
+    # degrades to the neutral blurred read instead of amplifying noise.
+    env_tight_chroma: bool = False
+    env_tight_chroma_eps: float = 0.01
     compute_dtype: Any = jnp.bfloat16
     # Force the fused Pallas MLP kernels on for ALL subgraphs (including
     # training). Default off for training: XLA compiles the train step to
@@ -264,6 +277,13 @@ class BaseNeRF:
     # metrics are bitwise unaffected by this knob.
     eval_env_samples: int = 0
 
+    def __post_init__(self):
+        if self.env_tight_chroma and self.env_tight_rgb <= 0:
+            raise ValueError(
+                "env_tight_chroma combines the blurred and tight-scale "
+                "secondary reads, so it requires env_tight_rgb > 0 "
+                "(the tight covariance scale).")
+
     def _auto_fused_train(self, batch: int):
         """Batch-aware training-kernel policy (NOTES.md crossover): returns
         a fused copy of self when a training call at this batch size should
@@ -323,6 +343,10 @@ class BaseNeRF:
             num_env_fine_samples=int(
                 hparams.get("nerf.num_env_fine_samples", 5)),
             env_tight_rgb=float(hparams.get("nerf.env_tight_rgb", 0.0)),
+            env_tight_chroma=bool(hparams.get("nerf.env_tight_chroma",
+                                              False)),
+            env_tight_chroma_eps=float(
+                hparams.get("nerf.env_tight_chroma_eps", 0.01)),
             num_coarse_samples=int(
                 hparams.get("nerf.num_coarse_samples", 0)),
             compute_dtype=dtype,

@@ -552,8 +552,23 @@ class PanoMipNeRF(BaseNeRF):
                             lit_covs * self.env_tight_rgb, lit_dirs, None,
                             fused=True)
                         t_rgb, _, _, _ = tight_graph(lit_means)
-                        env_rgb = jnp.sum(
+                        tight_read = jnp.sum(
                             env_vr[3][..., None] * t_rgb, axis=-2)
+                        if self.env_tight_chroma:
+                            # Hybrid combine (BaseNeRF.env_tight_chroma):
+                            # intensity from the blurred read (the scale
+                            # the irradiance loss transmits it at), channel
+                            # structure from the tight read (the scale the
+                            # primary views supervise). A tight-scale miss
+                            # (tight -> 0) degrades to the neutral blurred
+                            # read via the eps, not to amplified noise.
+                            c = self.env_tight_chroma_eps
+                            luma_b = shading.compute_illumination(env_rgb)
+                            luma_t = shading.compute_illumination(tight_read)
+                            env_rgb = luma_b * (tight_read + c) / (
+                                luma_t + c)
+                        else:
+                            env_rgb = tight_read
                     if self.env_resample:
                         # Two-level irradiance march: the blurred pass above
                         # only PLACES the tight second march that carries the

@@ -284,6 +284,16 @@ VARIANTS = {
     # Composition with the saturation-masked chroma tie: tight color
     # evidence + cross-view transmission of the unsaturated anchors.
     "etr_vcsm": {"nerf.env_tight_rgb": 0.01, "loss.vc_sat_mask": True},
+    # Hybrid combine (BaseNeRF.env_tight_chroma): the etr scale ladder
+    # measured a clean decomposition — the blurred read carries the right
+    # INTENSITY (prod ratio ~0.9-1.2) with a flattened/flipped spectrum,
+    # the tight read carries the right CHANNEL ORDER (the only variant
+    # that cool-orders duo_cool) but under-reads small emitters (ratio
+    # 0.57-0.73) and costs 3-5 dB LDR when it carries the full radiance.
+    # etc keeps the blurred luma and takes only the chroma from the tight
+    # read; etc1 the same at the intermediate scale.
+    "etc": {"nerf.env_tight_rgb": 0.01, "nerf.env_tight_chroma": True},
+    "etc1": {"nerf.env_tight_rgb": 0.1, "nerf.env_tight_chroma": True},
 }
 
 

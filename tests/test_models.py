@@ -583,6 +583,71 @@ class TestEnvTightRgb:
         assert m.env_tight_rgb == 0.0
 
 
+class TestEnvTightChroma:
+    """Hybrid secondary read (BaseNeRF.env_tight_chroma): intensity from
+    the blurred march, channel structure from the tight re-read. Because
+    the Rec.709 weights sum to 1, the combine
+    luma_b * (tight + c) / (luma_t + c) preserves luma EXACTLY —
+    and `shading` is channel-linear in env_rgb, so the shading luma must
+    bitwise-track the blurred path's."""
+
+    def _kw(self):
+        return dict(randomized=True, white_bkgd=False, enable_surf=True,
+                    use_ort_loss=False)
+
+    def test_luma_preserved_vs_blurred_path(self, pano, envrays):
+        import dataclasses
+        from pano_nerf_tpu.ops import shading as shading_lib
+        m, p = pano
+        mh = dataclasses.replace(m, env_tight_rgb=0.01,
+                                 env_tight_chroma=True)
+        rays = make_rays(5, key=13)
+        base = m(p, jax.random.PRNGKey(4), rays, envrays, **self._kw())
+        hyb = mh(p, jax.random.PRNGKey(4), rays, envrays, **self._kw())
+        np.testing.assert_allclose(
+            np.asarray(shading_lib.compute_illumination(hyb[-1].shading)),
+            np.asarray(shading_lib.compute_illumination(base[-1].shading)),
+            rtol=1e-5, atol=1e-6)
+        # ... while the chroma actually moves (the point of the knob).
+        assert not np.allclose(np.asarray(hyb[-1].shading),
+                               np.asarray(base[-1].shading),
+                               rtol=1e-4)
+        # Volumetric products untouched.
+        np.testing.assert_array_equal(np.asarray(hyb[-1].rgb),
+                                      np.asarray(base[-1].rgb))
+
+    def test_gradients_flow_and_finite(self, pano, envrays):
+        import dataclasses
+        m, p = pano
+        mh = dataclasses.replace(m, env_tight_rgb=0.01,
+                                 env_tight_chroma=True)
+        rays = make_rays(4, key=9)
+
+        def loss(p):
+            out = mh(p, jax.random.PRNGKey(2), rays, envrays, **self._kw())
+            return jnp.mean(out[-1].surf_rgb ** 2)
+
+        g = jax.grad(loss)(p)
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+        assert sum(float(jnp.sum(jnp.abs(x))) for x in leaves) > 0.0
+
+    def test_requires_tight_scale(self):
+        import dataclasses
+        with pytest.raises(ValueError, match="env_tight_rgb"):
+            PanoMipNeRF(env_tight_chroma=True)
+        with pytest.raises(ValueError, match="env_tight_rgb"):
+            dataclasses.replace(PanoMipNeRF(env_tight_rgb=0.01,
+                                            env_tight_chroma=True),
+                                env_tight_rgb=0.0)
+
+    def test_from_hparams_keyless_off(self):
+        hp = dict(_minimal_nerf_hparams())
+        hp.pop("nerf.env_tight_chroma", None)
+        m = PanoMipNeRF.from_hparams(hp)
+        assert m.env_tight_chroma is False
+
+
 class TestScaleDistill:
     """Cross-scale self-distillation (loss.scale_distill): the primary ray
     re-marched at the secondary-march IPE scale must expose rgb_scale /
