@@ -60,9 +60,27 @@ def flatten(nested: Optional[dict]) -> dict:
     return dict(_walk_leaves(nested))
 
 
-def load(fname: str) -> dict:
+def load(fname: str, _depth: int = 0) -> dict:
+    """Load + flatten one YAML file, resolving `_base_` inheritance.
+
+    A top-level `_base_: other.yaml` key (path relative to the file's own
+    directory) loads the base file first and overlays this file's keys on
+    top — so preset configs (e.g. configs/panonerf_hdr.yaml) state only
+    their deltas. Chains resolve recursively with a small depth bound.
+    """
+    if _depth > 8:
+        raise ValueError(f"config _base_ chain too deep at {fname!r}")
     with open(fname, "r") as fp:
-        return flatten(yaml.safe_load(fp))
+        flat = flatten(yaml.safe_load(fp))
+    base = flat.pop("_base_", None)
+    if base is None:
+        return flat
+    if not isinstance(base, str):
+        raise ValueError(f"_base_ in {fname!r} must be a file name")
+    base_path = os.path.join(os.path.dirname(os.path.abspath(fname)), base)
+    config = load(base_path, _depth + 1)
+    config.update(flat)
+    return config
 
 
 def merge_from_config(config: dict, updates: dict, check: bool = True) -> None:

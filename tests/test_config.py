@@ -43,6 +43,41 @@ class TestParsing:
         assert bool(got["nerf.append_identity"]) is True
 
 
+class TestBaseInheritance:
+    def test_base_overlay(self, tmp_yaml):
+        tmp_yaml("base.yaml", {"nerf": {"num_samples": 64, "lr": "2e-4"}})
+        p = tmp_yaml("preset.yaml",
+                     {"_base_": "base.yaml", "nerf": {"num_samples": 32}})
+        got = cfg.load(p)
+        assert got["nerf.num_samples"] == 32      # preset wins
+        assert got["nerf.lr"] == 2e-4             # base key survives
+        assert "_base_" not in got                # key is consumed
+
+    def test_base_chain(self, tmp_yaml):
+        tmp_yaml("a.yaml", {"x": 1, "y": 1, "z": 1})
+        tmp_yaml("b.yaml", {"_base_": "a.yaml", "y": 2, "z": 2})
+        p = tmp_yaml("c.yaml", {"_base_": "b.yaml", "z": 3})
+        assert cfg.load(p) == {"x": 1, "y": 2, "z": 3}
+
+    def test_base_cycle_bounded(self, tmp_yaml):
+        tmp_yaml("a.yaml", {"_base_": "b.yaml"})
+        p = tmp_yaml("b.yaml", {"_base_": "a.yaml"})
+        with pytest.raises(ValueError, match="too deep"):
+            cfg.load(p)
+
+    def test_shipped_hdr_preset_resolves(self):
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        got = cfg.load(os.path.join(repo, "configs", "panonerf_hdr.yaml"))
+        base = cfg.load(os.path.join(repo, "configs", "panonerf.yaml"))
+        assert got["nerf.env_tight_chroma"] is True
+        assert got["nerf.env_tight_rgb"] == 0.01
+        # Everything else is the production recipe.
+        skip = {"nerf.env_tight_chroma", "nerf.env_tight_rgb"}
+        for k, v in base.items():
+            if k not in skip:
+                assert got[k] == v, k
+
+
 class TestMerging:
     def test_file_then_opts_precedence(self, tmp_yaml):
         base = tmp_yaml("base.yaml", {"train": {"batch_size": 512, "x": 1}})
