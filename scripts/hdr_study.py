@@ -294,6 +294,11 @@ VARIANTS = {
     # read; etc1 the same at the intermediate scale.
     "etc": {"nerf.env_tight_rgb": 0.01, "nerf.env_tight_chroma": True},
     "etc1": {"nerf.env_tight_rgb": 0.1, "nerf.env_tight_chroma": True},
+    # Composition: hybrid chroma read + illuminant-compensated albedo
+    # prior — the two individually-positive chromatic-scene recipes.
+    "etc_chromic": {"nerf.env_tight_rgb": 0.01,
+                    "nerf.env_tight_chroma": True,
+                    "loss.chrom_illum_comp": True},
 }
 
 
