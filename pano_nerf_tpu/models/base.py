@@ -142,6 +142,15 @@ class BaseNeRF:
     # degrades to the neutral blurred read instead of amplifying noise.
     env_tight_chroma: bool = False
     env_tight_chroma_eps: float = 0.01
+    # Cost reduction for the tight re-read (requires env_tight_chroma):
+    # evaluate the tight-scale radiance ONLY at the argmax-weight sample
+    # of the blurred march (the dominant surface hit) instead of at all
+    # S samples — 1/S the extra MLP rows. The luma-ratio combine already
+    # strips magnitude from the tight read, so the chroma of the
+    # dominant hit is the whole signal; a weight-averaged chroma only
+    # differs when one secondary ray straddles two differently-colored
+    # surfaces inside its march. Static shapes (argmax + gather).
+    env_tight_top1: bool = False
     compute_dtype: Any = jnp.bfloat16
     # Force the fused Pallas MLP kernels on for ALL subgraphs (including
     # training). Default off for training: XLA compiles the train step to
@@ -283,6 +292,11 @@ class BaseNeRF:
                 "env_tight_chroma combines the blurred and tight-scale "
                 "secondary reads, so it requires env_tight_rgb > 0 "
                 "(the tight covariance scale).")
+        if self.env_tight_top1 and not self.env_tight_chroma:
+            raise ValueError(
+                "env_tight_top1 reads only the dominant hit's CHROMA, so "
+                "it requires env_tight_chroma (the luma-ratio combine "
+                "strips the magnitude the single sample cannot carry).")
 
     def _auto_fused_train(self, batch: int):
         """Batch-aware training-kernel policy (NOTES.md crossover): returns
@@ -347,6 +361,7 @@ class BaseNeRF:
                                               False)),
             env_tight_chroma_eps=float(
                 hparams.get("nerf.env_tight_chroma_eps", 0.01)),
+            env_tight_top1=bool(hparams.get("nerf.env_tight_top1", False)),
             num_coarse_samples=int(
                 hparams.get("nerf.num_coarse_samples", 0)),
             compute_dtype=dtype,

@@ -548,12 +548,28 @@ class PanoMipNeRF(BaseNeRF):
                         # being IPE-averaged with the emitter's
                         # surroundings and rides the primary-supervised
                         # scale instead.
-                        tight_graph = make_graph(
-                            lit_covs * self.env_tight_rgb, lit_dirs, None,
-                            fused=True)
-                        t_rgb, _, _, _ = tight_graph(lit_means)
-                        tight_read = jnp.sum(
-                            env_vr[3][..., None] * t_rgb, axis=-2)
+                        if self.env_tight_top1:
+                            # Dominant-hit chroma (BaseNeRF.env_tight_top1):
+                            # the luma-ratio combine below strips magnitude
+                            # anyway, so one tight MLP row per direction —
+                            # at the blurred march's argmax-weight sample —
+                            # carries the whole chroma signal at 1/S the
+                            # re-read cost.
+                            idx = jnp.argmax(env_vr[3], axis=-1)
+                            gather = lambda x: jnp.take_along_axis(
+                                x, idx[..., None, None], axis=-2)
+                            tight_graph = make_graph(
+                                gather(lit_covs) * self.env_tight_rgb,
+                                lit_dirs, None, fused=True)
+                            t_rgb, _, _, _ = tight_graph(gather(lit_means))
+                            tight_read = t_rgb[..., 0, :]
+                        else:
+                            tight_graph = make_graph(
+                                lit_covs * self.env_tight_rgb, lit_dirs,
+                                None, fused=True)
+                            t_rgb, _, _, _ = tight_graph(lit_means)
+                            tight_read = jnp.sum(
+                                env_vr[3][..., None] * t_rgb, axis=-2)
                         if self.env_tight_chroma:
                             # Hybrid combine (BaseNeRF.env_tight_chroma):
                             # intensity from the blurred read (the scale

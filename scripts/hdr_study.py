@@ -299,6 +299,9 @@ VARIANTS = {
     "etc_chromic": {"nerf.env_tight_rgb": 0.01,
                     "nerf.env_tight_chroma": True,
                     "loss.chrom_illum_comp": True},
+    # Dominant-hit variant: 1/S the tight re-read rows (the cheap etc).
+    "etct": {"nerf.env_tight_rgb": 0.01, "nerf.env_tight_chroma": True,
+             "nerf.env_tight_top1": True},
 }
 
 

@@ -641,6 +641,43 @@ class TestEnvTightChroma:
                                             env_tight_chroma=True),
                                 env_tight_rgb=0.0)
 
+    def test_top1_requires_chroma_combine(self):
+        with pytest.raises(ValueError, match="env_tight_chroma"):
+            PanoMipNeRF(env_tight_rgb=0.01, env_tight_top1=True)
+
+    def test_top1_luma_preserved_and_runs(self, pano, envrays):
+        """The dominant-hit read keeps the exact-luma property (the
+        combine is the same), changes only the chroma source, and its
+        gradients stay finite."""
+        import dataclasses
+        from pano_nerf_tpu.ops import shading as shading_lib
+        m, p = pano
+        mh = dataclasses.replace(m, env_tight_rgb=0.01,
+                                 env_tight_chroma=True)
+        mt = dataclasses.replace(mh, env_tight_top1=True)
+        rays = make_rays(5, key=13)
+        base = m(p, jax.random.PRNGKey(4), rays, envrays, **self._kw())
+        top1 = mt(p, jax.random.PRNGKey(4), rays, envrays, **self._kw())
+        np.testing.assert_allclose(
+            np.asarray(shading_lib.compute_illumination(top1[-1].shading)),
+            np.asarray(shading_lib.compute_illumination(base[-1].shading)),
+            rtol=1e-5, atol=1e-6)
+        full = mh(p, jax.random.PRNGKey(4), rays, envrays, **self._kw())
+        # A different chroma source: generally not identical to the
+        # weight-averaged read on random fields.
+        assert np.isfinite(np.asarray(top1[-1].surf_rgb)).all()
+        assert not np.allclose(np.asarray(top1[-1].shading),
+                               np.asarray(full[-1].shading), rtol=1e-5)
+
+        def loss(p):
+            out = mt(p, jax.random.PRNGKey(2), rays, envrays, **self._kw())
+            return jnp.mean(out[-1].surf_rgb ** 2)
+
+        g = jax.grad(loss)(p)
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+        assert sum(float(jnp.sum(jnp.abs(x))) for x in leaves) > 0.0
+
     def test_from_hparams_keyless_off(self):
         hp = dict(_minimal_nerf_hparams())
         hp.pop("nerf.env_tight_chroma", None)
