@@ -302,6 +302,12 @@ VARIANTS = {
     # Dominant-hit variant: 1/S the tight re-read rows (the cheap etc).
     "etct": {"nerf.env_tight_rgb": 0.01, "nerf.env_tight_chroma": True,
              "nerf.env_tight_top1": True},
+    # Two-source (duo) attack: the albedo-chroma prior pushes the local
+    # illuminant's color into albedo at jointly-lit surfaces (duo_cool
+    # chrom0 was +2.46 vs prod -0.55); combine the prior ablation with
+    # the hybrid chroma read that fixes single-source channel order.
+    "etc_chrom0": {"nerf.env_tight_rgb": 0.01, "nerf.env_tight_chroma": True,
+                   "loss.chrom_loss": 0.0},
 }
 
 
