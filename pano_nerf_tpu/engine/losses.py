@@ -75,10 +75,39 @@ def _l2_normalize(x: Array, eps: float = 1e-12) -> Array:
     return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
 
 
-def chromaticity_loss(ldr_gt: Array, albedo: Array) -> Array:
+def chromaticity_loss(ldr_gt: Array, albedo: Array,
+                      weights: Optional[Array] = None) -> Array:
     """MSE between unit-normalized LDR color and unit-normalized albedo
-    (reference panonerf_system.py:58-63)."""
-    return jnp.mean((_l2_normalize(ldr_gt) - _l2_normalize(albedo)) ** 2)
+    (reference panonerf_system.py:58-63). Optional per-pixel `weights`
+    [B, 1] (beyond reference — the illuminant-chroma gate); None keeps the
+    reference's plain mean."""
+    err = (_l2_normalize(ldr_gt) - _l2_normalize(albedo)) ** 2
+    if weights is None:
+        return jnp.mean(err)
+    # ABSOLUTE downweighting (mean over all pixels, not a weighted mean):
+    # where the gate says the prior's premise fails, the term must lose
+    # magnitude, not redistribute it — a uniformly-colored scene
+    # (duo_cool) should approach the measured-healthy chrom_loss=0
+    # behavior, which a self-normalizing weighted mean cannot do.
+    return jnp.mean(weights * err)
+
+
+def illuminant_chroma_gate(shading: Array, sigma: float) -> Array:
+    """Per-pixel confidence [B, 1] that the local illuminant is NEUTRAL.
+
+    gate = exp(-(s / sigma)^2) with s = || normalize(shading) - white ||,
+    the chroma distance of the (stop-gradient) irradiance integral from
+    the neutral direction. Where the illuminant is near-white the LDR
+    image chroma IS the albedo chroma and the prior is trustworthy
+    (gate ~ 1, box scene); where it is strongly colored the LDR chroma is
+    the illuminant's and the prior would push source color into albedo —
+    the measured duo_cool failure (gate -> 0 releases it). Zero shading
+    (dark pixels, no chroma evidence either way) normalizes to the zero
+    vector, s = 1, gate ~ 0. Stop-gradient is the caller's job."""
+    white = jnp.full((3,), 1.0 / jnp.sqrt(3.0), dtype=shading.dtype)
+    s = jnp.linalg.norm(_l2_normalize(shading) - white, axis=-1,
+                        keepdims=True)
+    return jnp.exp(-(s / sigma) ** 2)
 
 
 # Radiance that ACES+gamma tonemaps to exactly 1.0: the root of
@@ -154,6 +183,22 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
         loss = loss + hparams["loss.surface_loss"] * vol_surface
         parts["vol_surface"] = vol_surface
         if hparams["loss.chrom_loss"] > 0:
+            # Illuminant-chroma gate (beyond reference, loss.chrom_gate):
+            # weight the prior per pixel by how NEUTRAL the local
+            # irradiance is. The 44k scene matrix measured the plain prior
+            # helpful under near-neutral illumination (box) and harmful
+            # under colored illumination (duo_cool -0.55 vs +2.46 with it
+            # off; on the two-source duo BOTH targets — plain and
+            # compensated — flatten the spectra, and only the full
+            # ablation orders both sources). The gate is the adaptive
+            # middle: per-pixel, the prior stays where its premise
+            # (illuminant ~ white) holds and releases where it breaks.
+            gate = None
+            if (bool(hparams.get("loss.chrom_gate", False))
+                    and fine.shading is not None):
+                gate = illuminant_chroma_gate(
+                    jax.lax.stop_gradient(fine.shading),
+                    sigma=float(hparams.get("loss.chrom_gate_sigma", 0.2)))
             if (bool(hparams.get("loss.chrom_illum_comp", False))
                     and fine.shading is not None):
                 # Illuminant-compensated chromaticity (beyond reference):
@@ -186,9 +231,11 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
                 floor = jnp.maximum(
                     rel * jnp.max(shading, axis=-1, keepdims=True), 1e-3)
                 illum = jnp.maximum(shading, floor)
-                chrom = chromaticity_loss(rgbs_gt / illum, fine.albedo)
+                chrom = chromaticity_loss(rgbs_gt / illum, fine.albedo,
+                                          weights=gate)
             else:
-                chrom = chromaticity_loss(ldr_gt, fine.albedo)
+                chrom = chromaticity_loss(ldr_gt, fine.albedo,
+                                          weights=gate)
             loss = loss + hparams["loss.chrom_loss"] * chrom
             parts["chrom"] = chrom
     if fine.ort_loss is not None:

@@ -308,6 +308,17 @@ VARIANTS = {
     # the hybrid chroma read that fixes single-source channel order.
     "etc_chrom0": {"nerf.env_tight_rgb": 0.01, "nerf.env_tight_chroma": True,
                    "loss.chrom_loss": 0.0},
+    # Illuminant-chroma GATE (loss.chrom_gate): per-pixel release of the
+    # albedo-chroma prior where the stop-grad irradiance integral is
+    # strongly colored — the adaptive middle between the plain prior
+    # (right under neutral illumination, box) and the full ablation
+    # (required under colored/mixed illumination, duo/duo_cool). If the
+    # gated prior matches chrom0 on duo and prod on box, the scene-class
+    # recipe split collapses into one default candidate.
+    "chromg": {"loss.chrom_gate": True},
+    "etc_chromg": {"nerf.env_tight_rgb": 0.01,
+                   "nerf.env_tight_chroma": True,
+                   "loss.chrom_gate": True},
 }
 
 

@@ -474,6 +474,152 @@ class TestChromIllumComp:
                          enable_surf=True)
         assert float(lo["chrom"]) > float(ic["chrom"]) * 2
 
+
+class TestChromGate:
+    """Illuminant-chroma gate on the albedo prior (loss.chrom_gate)."""
+
+    def _outs(self, gt, albedo, shading=None):
+        B = gt.shape[0]
+        return [level(gt), level(gt, normal=jnp.ones((B, 3)),
+                                 albedo=albedo, surf_rgb=gt,
+                                 shading=shading,
+                                 ort_loss=jnp.asarray(0.0))]
+
+    def test_default_off_is_parity(self):
+        B = 6
+        gt = jnp.abs(jnp.sin(jnp.arange(B * 3.0))).reshape(B, 3) + 0.1
+        albedo = jnp.full((B, 3), 0.5)
+        shading = jnp.full((B, 3), 2.0)
+        mask = jnp.ones((B, 1))
+        base = pano_losses(self._outs(gt, albedo, shading), gt, mask, HP,
+                           enable_surf=True)
+        hp_off = dict(HP, **{"loss.chrom_gate": False})
+        off = pano_losses(self._outs(gt, albedo, shading), gt, mask,
+                          hp_off, enable_surf=True)
+        np.testing.assert_array_equal(np.asarray(base["chrom"]),
+                                      np.asarray(off["chrom"]))
+
+    def test_neutral_illuminant_keeps_prior(self):
+        """Under exactly-white shading the gate is 1 everywhere and the
+        gated prior equals the plain mean."""
+        B = 5
+        gt = jnp.abs(jnp.cos(jnp.arange(B * 3.0))).reshape(B, 3) + 0.2
+        albedo = jnp.full((B, 3), 0.5)
+        shading = jnp.full((B, 3), 1.7)
+        mask = jnp.ones((B, 1))
+        hp_g = dict(HP, **{"loss.chrom_gate": True})
+        gated = pano_losses(self._outs(gt, albedo, shading), gt, mask,
+                            hp_g, enable_surf=True)
+        plain = pano_losses(self._outs(gt, albedo, shading), gt, mask, HP,
+                            enable_surf=True)
+        np.testing.assert_allclose(np.asarray(gated["chrom"]),
+                                   np.asarray(plain["chrom"]), rtol=1e-6)
+
+    def test_colored_illuminant_releases_prior(self):
+        """A gray surface under a strongly blue illuminant: the plain
+        prior penalizes the correct gray albedo; the gate suppresses that
+        penalty by orders of magnitude."""
+        B = 8
+        illum = jnp.broadcast_to(jnp.asarray([0.2, 0.5, 3.0]), (B, 3))
+        albedo_true = jnp.full((B, 3), 0.6)
+        gt = albedo_true * illum
+        mask = jnp.ones((B, 1))
+        hp_g = dict(HP, **{"loss.chrom_gate": True})
+        gated = pano_losses(self._outs(gt, albedo_true, illum), gt, mask,
+                            hp_g, enable_surf=True)
+        plain = pano_losses(self._outs(gt, albedo_true, illum), gt, mask,
+                            HP, enable_surf=True)
+        assert float(plain["chrom"]) > 1e-3
+        assert float(gated["chrom"]) < float(plain["chrom"]) * 1e-2
+
+    def test_mixed_pixels_weight_only_neutral_ones(self):
+        """Half the batch neutrally lit (prior premise holds), half under
+        a colored source with a WRONG albedo: the gate keeps the loss at
+        ~the neutral half's value instead of averaging in the colored
+        half's spurious error."""
+        B = 4
+        neutral = jnp.full((2, 3), 1.5)
+        colored = jnp.broadcast_to(jnp.asarray([0.2, 0.4, 3.0]), (2, 3))
+        shading = jnp.concatenate([neutral, colored])
+        albedo = jnp.concatenate([
+            jnp.full((2, 3), 0.5),                       # matches gt chroma
+            jnp.full((2, 3), 0.5)])                      # gray under blue
+        gt = jnp.concatenate([jnp.full((2, 3), 0.75),    # neutral * gray
+                              0.5 * colored])            # blue pixels
+        mask = jnp.ones((B, 1))
+        hp_g = dict(HP, **{"loss.chrom_gate": True})
+        gated = pano_losses(self._outs(gt, albedo, shading), gt, mask,
+                            hp_g, enable_surf=True)
+        plain = pano_losses(self._outs(gt, albedo, shading), gt, mask, HP,
+                            enable_surf=True)
+        # Neutral half is a perfect chroma match -> gated loss ~ 0; the
+        # plain mean carries the colored half's spurious penalty.
+        assert float(gated["chrom"]) < float(plain["chrom"]) * 1e-2
+
+    def test_sigma_widens_the_gate(self):
+        B = 4
+        illum = jnp.broadcast_to(jnp.asarray([0.8, 1.0, 1.4]), (B, 3))
+        albedo = jnp.full((B, 3), 0.5)
+        gt = albedo * illum
+        mask = jnp.ones((B, 1))
+        hp_n = dict(HP, **{"loss.chrom_gate": True})
+        hp_w = dict(hp_n, **{"loss.chrom_gate_sigma": 10.0})
+        narrow = pano_losses(self._outs(gt, albedo, illum), gt, mask,
+                             hp_n, enable_surf=True)
+        wide = pano_losses(self._outs(gt, albedo, illum), gt, mask, hp_w,
+                           enable_surf=True)
+        plain = pano_losses(self._outs(gt, albedo, illum), gt, mask, HP,
+                            enable_surf=True)
+        # A huge sigma recovers the plain prior; the default gates down.
+        np.testing.assert_allclose(np.asarray(wide["chrom"]),
+                                   np.asarray(plain["chrom"]), rtol=1e-3)
+        assert float(narrow["chrom"]) <= float(wide["chrom"]) + 1e-9
+
+    def test_falls_back_without_shading(self):
+        B = 4
+        gt = jnp.ones((B, 3))
+        albedo = jnp.full((B, 3), 0.5)
+        mask = jnp.ones((B, 1))
+        hp_g = dict(HP, **{"loss.chrom_gate": True})
+        gated = pano_losses(self._outs(gt, albedo, None), gt, mask, hp_g,
+                            enable_surf=True)
+        plain = pano_losses(self._outs(gt, albedo, None), gt, mask, HP,
+                            enable_surf=True)
+        np.testing.assert_array_equal(np.asarray(gated["chrom"]),
+                                      np.asarray(plain["chrom"]))
+
+    def test_gate_is_stop_grad_through_shading(self):
+        import jax
+
+        B = 4
+        gt = jnp.ones((B, 3)) * 1.5
+        albedo = jnp.full((B, 3), 0.4)
+        mask = jnp.ones((B, 1))
+        hp_g = dict(HP, **{"loss.chrom_gate": True})
+
+        def chrom_of_shading(s):
+            parts = pano_losses(self._outs(gt, albedo, s), gt, mask, hp_g,
+                                enable_surf=True)
+            return parts["chrom"]
+
+        g = jax.grad(chrom_of_shading)(jnp.full((B, 3), 2.0))
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+    def test_composes_with_illum_comp(self):
+        """Gate + compensated target: runs and weights the compensated
+        residual (colored-pixel residuals are downweighted)."""
+        B = 4
+        illum = jnp.broadcast_to(jnp.asarray([0.3, 1.0, 2.5]), (B, 3))
+        albedo = jnp.full((B, 3), 0.6)
+        gt = albedo * illum
+        mask = jnp.ones((B, 1))
+        hp = dict(HP, **{"loss.chrom_gate": True,
+                         "loss.chrom_illum_comp": True})
+        out = pano_losses(self._outs(gt, albedo, illum), gt, mask, hp,
+                          enable_surf=True)
+        assert np.isfinite(float(out["chrom"]))
+
+
 class TestScaleDistill:
     """Cross-scale distillation split: rgb tie (loss.scale_distill) vs the
     separate, measured-collapsing distance tie (loss.scale_distill_dist)."""
