@@ -151,6 +151,16 @@ class BaseNeRF:
     # differs when one secondary ray straddles two differently-colored
     # surfaces inside its march. Static shapes (argmax + gather).
     env_tight_top1: bool = False
+    # Generalized cost dial between env_tight_top1 (K=1-like) and the
+    # full-S tight re-read: evaluate the tight-scale radiance at the K
+    # highest-weight samples of the blurred march and combine them with
+    # their (raw) march weights — K/S the extra MLP rows. K = S
+    # reproduces the full-S read exactly; small K recovers most of the
+    # chroma signal (the weights concentrate at the dominant hit) while
+    # keeping the re-read cheap. 0 = off (full-S or top1 as configured).
+    # Requires env_tight_chroma; mutually exclusive with env_tight_top1.
+    # Static shapes (lax.top_k + gather).
+    env_tight_topk: int = 0
     compute_dtype: Any = jnp.bfloat16
     # Force the fused Pallas MLP kernels on for ALL subgraphs (including
     # training). Default off for training: XLA compiles the train step to
@@ -297,6 +307,16 @@ class BaseNeRF:
                 "env_tight_top1 reads only the dominant hit's CHROMA, so "
                 "it requires env_tight_chroma (the luma-ratio combine "
                 "strips the magnitude the single sample cannot carry).")
+        if self.env_tight_topk > 0:
+            if not self.env_tight_chroma:
+                raise ValueError(
+                    "env_tight_topk reads only the top-K hits' CHROMA, so "
+                    "it requires env_tight_chroma.")
+            if self.env_tight_top1:
+                raise ValueError(
+                    "env_tight_topk and env_tight_top1 are mutually "
+                    "exclusive (top1 is the K=1 dominant-hit special "
+                    "case).")
 
     def _auto_fused_train(self, batch: int):
         """Batch-aware training-kernel policy (NOTES.md crossover): returns
@@ -362,6 +382,7 @@ class BaseNeRF:
             env_tight_chroma_eps=float(
                 hparams.get("nerf.env_tight_chroma_eps", 0.01)),
             env_tight_top1=bool(hparams.get("nerf.env_tight_top1", False)),
+            env_tight_topk=int(hparams.get("nerf.env_tight_topk", 0)),
             num_coarse_samples=int(
                 hparams.get("nerf.num_coarse_samples", 0)),
             compute_dtype=dtype,

@@ -563,6 +563,24 @@ class PanoMipNeRF(BaseNeRF):
                                 lit_dirs, None, fused=True)
                             t_rgb, _, _, _ = tight_graph(gather(lit_means))
                             tight_read = t_rgb[..., 0, :]
+                        elif self.env_tight_topk > 0:
+                            # Top-K tight read (BaseNeRF.env_tight_topk):
+                            # the K highest-weight samples of the blurred
+                            # march, combined with their raw march weights
+                            # — exactly the full-S weighted read restricted
+                            # to its K largest terms (K = S reproduces it
+                            # bitwise up to summation order), at K/S the
+                            # re-read rows.
+                            w_k, idx = jax.lax.top_k(
+                                env_vr[3], self.env_tight_topk)
+                            gather = lambda x: jnp.take_along_axis(
+                                x, idx[..., None], axis=-2)
+                            tight_graph = make_graph(
+                                gather(lit_covs) * self.env_tight_rgb,
+                                lit_dirs, None, fused=True)
+                            t_rgb, _, _, _ = tight_graph(gather(lit_means))
+                            tight_read = jnp.sum(
+                                w_k[..., None] * t_rgb, axis=-2)
                         else:
                             tight_graph = make_graph(
                                 lit_covs * self.env_tight_rgb, lit_dirs,

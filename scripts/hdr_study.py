@@ -302,6 +302,20 @@ VARIANTS = {
     # Dominant-hit variant: 1/S the tight re-read rows (the cheap etc).
     "etct": {"nerf.env_tight_rgb": 0.01, "nerf.env_tight_chroma": True,
              "nerf.env_tight_top1": True},
+    # Top-K interpolation between etct (cheap, under-reads the grazing
+    # wall emitter: ratio 0.737 vs etc 1.003) and the full-S etc: K
+    # weighted dominant hits recover the weight mass a single argmax
+    # misses when the blurred march straddles the emitter boundary.
+    "etck2": {"nerf.env_tight_rgb": 0.01, "nerf.env_tight_chroma": True,
+              "nerf.env_tight_topk": 2},
+    "etck4": {"nerf.env_tight_rgb": 0.01, "nerf.env_tight_chroma": True,
+              "nerf.env_tight_topk": 4},
+    # Top-K composition with the compensated prior (the best single-
+    # source recipe) at reduced re-read cost.
+    "etck4_chromic": {"nerf.env_tight_rgb": 0.01,
+                      "nerf.env_tight_chroma": True,
+                      "nerf.env_tight_topk": 4,
+                      "loss.chrom_illum_comp": True},
     # Two-source (duo) attack: the albedo-chroma prior pushes the local
     # illuminant's color into albedo at jointly-lit surfaces (duo_cool
     # chrom0 was +2.46 vs prod -0.55); combine the prior ablation with

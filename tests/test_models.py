@@ -684,6 +684,64 @@ class TestEnvTightChroma:
         m = PanoMipNeRF.from_hparams(hp)
         assert m.env_tight_chroma is False
 
+    def test_topk_requires_chroma_and_excludes_top1(self):
+        with pytest.raises(ValueError, match="env_tight_chroma"):
+            PanoMipNeRF(env_tight_rgb=0.01, env_tight_topk=2)
+        with pytest.raises(ValueError, match="mutually"):
+            PanoMipNeRF(env_tight_rgb=0.01, env_tight_chroma=True,
+                        env_tight_top1=True, env_tight_topk=2)
+
+    def test_topk_full_s_reproduces_full_read(self, pano, envrays):
+        """K = num_env_samples gathers every sample, so the weighted
+        top-K combine must match the full-S tight read (same terms,
+        permuted summation order)."""
+        import dataclasses
+        m, p = pano
+        mh = dataclasses.replace(m, env_tight_rgb=0.01,
+                                 env_tight_chroma=True)
+        mk = dataclasses.replace(mh, env_tight_topk=m.num_env_samples)
+        rays = make_rays(5, key=13)
+        full = mh(p, jax.random.PRNGKey(4), rays, envrays, **self._kw())
+        topk = mk(p, jax.random.PRNGKey(4), rays, envrays, **self._kw())
+        np.testing.assert_allclose(np.asarray(topk[-1].shading),
+                                   np.asarray(full[-1].shading),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(topk[-1].surf_rgb),
+                                   np.asarray(full[-1].surf_rgb),
+                                   rtol=2e-5, atol=1e-6)
+
+    def test_topk_luma_preserved_and_grads_finite(self, pano, envrays):
+        import dataclasses
+        from pano_nerf_tpu.ops import shading as shading_lib
+        m, p = pano
+        mk = dataclasses.replace(m, env_tight_rgb=0.01,
+                                 env_tight_chroma=True, env_tight_topk=2)
+        rays = make_rays(5, key=13)
+        base = m(p, jax.random.PRNGKey(4), rays, envrays, **self._kw())
+        topk = mk(p, jax.random.PRNGKey(4), rays, envrays, **self._kw())
+        np.testing.assert_allclose(
+            np.asarray(shading_lib.compute_illumination(topk[-1].shading)),
+            np.asarray(shading_lib.compute_illumination(base[-1].shading)),
+            rtol=1e-5, atol=1e-6)
+        assert np.isfinite(np.asarray(topk[-1].surf_rgb)).all()
+
+        def loss(p):
+            out = mk(p, jax.random.PRNGKey(2), rays, envrays, **self._kw())
+            return jnp.mean(out[-1].surf_rgb ** 2)
+
+        g = jax.grad(loss)(p)
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+        assert sum(float(jnp.sum(jnp.abs(x))) for x in leaves) > 0.0
+
+    def test_topk_from_hparams(self):
+        hp = dict(_minimal_nerf_hparams())
+        hp["nerf.env_tight_rgb"] = 0.01
+        hp["nerf.env_tight_chroma"] = True
+        hp["nerf.env_tight_topk"] = 3
+        m = PanoMipNeRF.from_hparams(hp)
+        assert m.env_tight_topk == 3
+
 
 class TestScaleDistill:
     """Cross-scale self-distillation (loss.scale_distill): the primary ray
