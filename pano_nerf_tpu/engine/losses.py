@@ -303,6 +303,30 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
                             jnp.log1p(jax.nn.relu(fine.rgb)), mask)
         loss = loss + w_vc * vc
         parts["vc"] = vc
+    # Chroma-only cross-view tie (round-3 duo attack, loss.vc_chroma):
+    # the attribution probe (NOTES.md "duo cross-source assignment")
+    # shows the view-dependent head collapses to ONE global illuminant
+    # chroma along the unsupervised secondary directions — the
+    # irradiance integral consumes that collapsed read, so with two
+    # opposite-chroma sources whichever dominates wins both assignments.
+    # Tie the LOG-CHROMA (log1p rgb minus its channel mean — intensity-
+    # free, so it cannot ride the per-channel tie's intensity-divergence
+    # loop, NOTES.md vc_luma study) between the primary and the
+    # alternate-direction composite of the SAME samples: each spatial
+    # point's spectrum becomes view-independent, exact for the
+    # Lambertian emitters the formulation targets. Complements vc_luma
+    # (intensity tie): together they span the per-channel tie WITHOUT
+    # its knee-flattened-spectrum failure mode, because both sides here
+    # are predictions (which the HDR machinery orders), not the LDR GT.
+    w_vcc = float(hparams.get("loss.vc_chroma", 0.0))
+    if w_vcc > 0 and fine.rgb_alt is not None:
+        log_p = jnp.log1p(jax.nn.relu(fine.rgb))
+        log_a = jnp.log1p(jax.nn.relu(fine.rgb_alt))
+        vcc = masked_mse(
+            log_a - jnp.mean(log_a, axis=-1, keepdims=True),
+            log_p - jnp.mean(log_p, axis=-1, keepdims=True), mask)
+        loss = loss + w_vcc * vcc
+        parts["vcc"] = vcc
     # Cross-scale self-distillation (BaseNeRF.rgb_scale/dist_scale): the
     # primary ray re-marched at the secondary-ray IPE scale must composite
     # to the same radiance and expected distance as the fine march

@@ -333,6 +333,19 @@ VARIANTS = {
     "etc_chromg": {"nerf.env_tight_rgb": 0.01,
                    "nerf.env_tight_chroma": True,
                    "loss.chrom_gate": True},
+    # Chroma-only cross-view tie (loss.vc_chroma): the attribution probe
+    # isolated the duo failure to the view-dependent head collapsing to
+    # ONE global illuminant chroma along secondary directions (NOTES.md
+    # duo cross-source assignment) — the tie forces each point's
+    # spectrum view-independent. Composed over the two duo recipes.
+    "etc_chromic_vcc": {"nerf.env_tight_rgb": 0.01,
+                        "nerf.env_tight_chroma": True,
+                        "loss.chrom_illum_comp": True,
+                        "loss.vc_chroma": 0.1},
+    "etc_chrom0_vcc": {"nerf.env_tight_rgb": 0.01,
+                       "nerf.env_tight_chroma": True,
+                       "loss.chrom_loss": 0.0,
+                       "loss.vc_chroma": 0.1},
 }
 
 

@@ -185,6 +185,40 @@ class TestStabilizerLosses:
             float(p["loss"]) - float(p0["loss"]), 0.1 * gap,
             rtol=1e-5)
 
+    def test_vc_chroma_intensity_free_tie(self):
+        """loss.vc_chroma ties log-chroma only: a pure intensity gap
+        across views contributes exactly zero, a pure chroma gap is
+        penalized, and the key defaults off (strict parity)."""
+        B = 4
+        gt = jnp.ones((B, 3))
+        mask = jnp.ones((B, 1))
+        rgb = jnp.full((B, 3), 2.0)
+        hp_on = dict(HP_PROD, **{"loss.vc_chroma": 0.1})
+
+        # Grey-to-grey with a 3x intensity gap: chroma identical -> 0.
+        outs_grey = [level(rgb),
+                     level(rgb, ort_loss=None,
+                           rgb_alt=jnp.full((B, 3), 6.0))]
+        p_grey = pano_losses(outs_grey, gt, mask, hp_on, enable_surf=False)
+        assert "vcc" in p_grey
+        np.testing.assert_allclose(float(p_grey["vcc"]), 0.0, atol=1e-7)
+
+        # Chroma gap at matched luma-scale: penalized by the log-chroma
+        # residual summed over channels (masked_mse convention).
+        alt = jnp.tile(jnp.asarray([[2.0, 2.0, 8.0]]), (B, 1))
+        outs_chroma = [level(rgb), level(rgb, ort_loss=None, rgb_alt=alt)]
+        p_c = pano_losses(outs_chroma, gt, mask, hp_on, enable_surf=False)
+        la = np.log1p(np.asarray([2.0, 2.0, 8.0]))
+        expect = float(np.sum((la - la.mean()) ** 2))
+        np.testing.assert_allclose(float(p_c["vcc"]), expect, rtol=1e-5)
+        # The weighted term lands in the total.
+        p_off = pano_losses(outs_chroma, gt, mask, HP_PROD,
+                            enable_surf=False)
+        assert "vcc" not in p_off
+        np.testing.assert_allclose(
+            float(p_c["loss"]) - float(p_off["loss"]), 0.1 * expect,
+            rtol=1e-5)
+
     def test_vc_sat_mask_per_channel_tie(self):
         """loss.vc_sat_mask adds a per-channel log1p tie ONLY on channels
         whose GT is unsaturated; fully saturated GT reduces it bitwise to
