@@ -316,6 +316,13 @@ VARIANTS = {
                       "nerf.env_tight_chroma": True,
                       "nerf.env_tight_topk": 4,
                       "loss.chrom_illum_comp": True},
+    # K=2 composition: the wall topk gates measured K=2 at full-S-level
+    # recovery (+3.51 vs etc +2.51, ordered, ratio 0.872) where top1
+    # under-read (0.737) — two hits capture the straddled weight mass.
+    "etck2_chromic": {"nerf.env_tight_rgb": 0.01,
+                      "nerf.env_tight_chroma": True,
+                      "nerf.env_tight_topk": 2,
+                      "loss.chrom_illum_comp": True},
     # Two-source (duo) attack: the albedo-chroma prior pushes the local
     # illuminant's color into albedo at jointly-lit surfaces (duo_cool
     # chrom0 was +2.46 vs prod -0.55); combine the prior ablation with
