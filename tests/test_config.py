@@ -71,8 +71,12 @@ class TestBaseInheritance:
         base = cfg.load(os.path.join(repo, "configs", "panonerf.yaml"))
         assert got["nerf.env_tight_chroma"] is True
         assert got["nerf.env_tight_rgb"] == 0.01
+        # The full etc_chromic composition shipped after the box/wall
+        # gates + duo_cool seed matrix came back green (NOTES.md).
+        assert got["loss.chrom_illum_comp"] is True
         # Everything else is the production recipe.
-        skip = {"nerf.env_tight_chroma", "nerf.env_tight_rgb"}
+        skip = {"nerf.env_tight_chroma", "nerf.env_tight_rgb",
+                "loss.chrom_illum_comp"}
         for k, v in base.items():
             if k not in skip:
                 assert got[k] == v, k
