@@ -322,9 +322,18 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
     if w_vcc > 0 and fine.rgb_alt is not None:
         log_p = jnp.log1p(jax.nn.relu(fine.rgb))
         log_a = jnp.log1p(jax.nn.relu(fine.rgb_alt))
+        chroma_p = log_p - jnp.mean(log_p, axis=-1, keepdims=True)
+        if bool(hparams.get("loss.vc_chroma_sg", False)):
+            # One-way tie (duo vcc gate, NOTES.md): the symmetric tie
+            # measured NEGATIVE — the alt side is unsupervised, so the
+            # collapsed global chroma flows INTO the primary read and
+            # flips the cool source's spectrum. Stop-grad the primary
+            # target so the alternate-direction read INHERITS each
+            # point's primary spectrum without back-pressure.
+            chroma_p = jax.lax.stop_gradient(chroma_p)
         vcc = masked_mse(
             log_a - jnp.mean(log_a, axis=-1, keepdims=True),
-            log_p - jnp.mean(log_p, axis=-1, keepdims=True), mask)
+            chroma_p, mask)
         loss = loss + w_vcc * vcc
         parts["vcc"] = vcc
     # Cross-scale self-distillation (BaseNeRF.rgb_scale/dist_scale): the

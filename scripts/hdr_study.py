@@ -353,6 +353,21 @@ VARIANTS = {
                        "nerf.env_tight_chroma": True,
                        "loss.chrom_loss": 0.0,
                        "loss.vc_chroma": 0.1},
+    # One-way (stop-grad-primary) chroma tie: the symmetric vcc measured
+    # NEGATIVE on duo (-3.18 — the unsupervised alt side drags the
+    # primary INTO the collapse, flipping the cool source's spectrum);
+    # sg lets the secondary read inherit the primary per-source spectrum
+    # without back-pressure.
+    "etc_chromic_vccsg": {"nerf.env_tight_rgb": 0.01,
+                          "nerf.env_tight_chroma": True,
+                          "loss.chrom_illum_comp": True,
+                          "loss.vc_chroma": 0.1,
+                          "loss.vc_chroma_sg": True},
+    "etc_chrom0_vccsg": {"nerf.env_tight_rgb": 0.01,
+                         "nerf.env_tight_chroma": True,
+                         "loss.chrom_loss": 0.0,
+                         "loss.vc_chroma": 0.1,
+                         "loss.vc_chroma_sg": True},
 }
 
 

@@ -1,5 +1,6 @@
 """Training-loss composition tests for both systems."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -218,6 +219,31 @@ class TestStabilizerLosses:
         np.testing.assert_allclose(
             float(p_c["loss"]) - float(p_off["loss"]), 0.1 * expect,
             rtol=1e-5)
+
+    def test_vc_chroma_sg_one_way_gradient(self):
+        """loss.vc_chroma_sg stops gradient into the primary-side chroma:
+        the vcc value is identical, but d(vcc)/d(rgb) vanishes while
+        d(vcc)/d(rgb_alt) survives."""
+        B = 4
+        gt = jnp.ones((B, 3))
+        mask = jnp.ones((B, 1))
+        hp_sym = dict(HP_PROD, **{"loss.vc_chroma": 0.1})
+        hp_sg = dict(hp_sym, **{"loss.vc_chroma_sg": True})
+
+        def vcc(hp, rgb, alt):
+            outs = [level(rgb), level(rgb, ort_loss=None, rgb_alt=alt)]
+            return pano_losses(outs, gt, mask, hp, enable_surf=False)["vcc"]
+
+        rgb = jnp.full((B, 3), 2.0)
+        alt = jnp.tile(jnp.asarray([[2.0, 2.0, 8.0]]), (B, 1))
+        np.testing.assert_allclose(float(vcc(hp_sg, rgb, alt)),
+                                   float(vcc(hp_sym, rgb, alt)), rtol=1e-6)
+        g_p_sym = jax.grad(lambda r: vcc(hp_sym, r, alt))(rgb)
+        g_p_sg = jax.grad(lambda r: vcc(hp_sg, r, alt))(rgb)
+        g_a_sg = jax.grad(lambda a: vcc(hp_sg, rgb, a))(alt)
+        assert float(jnp.sum(jnp.abs(g_p_sym))) > 0
+        np.testing.assert_allclose(np.asarray(g_p_sg), 0.0, atol=1e-9)
+        assert float(jnp.sum(jnp.abs(g_a_sg))) > 0
 
     def test_vc_sat_mask_per_channel_tie(self):
         """loss.vc_sat_mask adds a per-channel log1p tie ONLY on channels
