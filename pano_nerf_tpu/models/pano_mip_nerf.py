@@ -36,7 +36,8 @@ class PanoMipNeRF(BaseNeRF):
         # channels.
         overrides.setdefault(
             "mlp_num_density_channels",
-            8 if bool(hparams.get("nerf.emissive_head", False)) else 5)
+            5 + (3 if bool(hparams.get("nerf.emissive_head", False)) else 0)
+            + (3 if bool(hparams.get("nerf.chroma_head", False)) else 0))
         return super().from_hparams(hparams, **overrides)
 
     def _split_heads(self, raw_density: jax.Array):
@@ -61,6 +62,17 @@ class PanoMipNeRF(BaseNeRF):
         if not self.emissive_head:
             return None
         return jax.nn.softplus(raw_density[..., 5:8] + self.emission_bias)
+
+    def _split_chroma(self, raw_density: jax.Array):
+        """Per-sample view-independent chroma simplex [..., 3] (softmax —
+        sums to 1), or None when the chroma factorization is off (see
+        BaseNeRF.chroma_head). Rides the density head AFTER the emission
+        channels: density(1) | albedo(3) | roughness(1) [| emission(3)]
+        [| chroma(3)]."""
+        if not self.chroma_head:
+            return None
+        off = 8 if self.emissive_head else 5
+        return jax.nn.softmax(raw_density[..., off:off + 3], axis=-1)
 
     def _importance_dirs(self, k_env, make_graph, surf_origins, normal,
                          env_rays):
@@ -293,7 +305,8 @@ class PanoMipNeRF(BaseNeRF):
                     raw_sigma, albedo, roughness = self._split_heads(
                         raw_density)
                     rgb, density = self._activate_rgb_density(
-                        raw_rgb, raw_sigma, noise_key, randomized)
+                        raw_rgb, raw_sigma, noise_key, randomized,
+                        chroma=self._split_chroma(raw_density))
                     em = self._split_emission(raw_density)
                     if em is not None:
                         # Total radiance = view-dependent + self-emission:
@@ -334,8 +347,8 @@ class PanoMipNeRF(BaseNeRF):
                     raw_density)
                 raw_sigma = self._density_noise(
                     raw_sigma, keys[2 * i_level + 1], randomized)
-                rgb = jax.nn.softplus(raw_rgb)
-                rgb = rgb * (1.0 + 2.0 * self.rgb_padding) - self.rgb_padding
+                chroma_s = self._split_chroma(raw_density)
+                rgb = self._rgb_from_raw(raw_rgb, chroma_s)
                 emission_s = self._split_emission(raw_density)
                 if emission_s is not None:
                     rgb = rgb + emission_s
@@ -351,6 +364,7 @@ class PanoMipNeRF(BaseNeRF):
                         "(the vjp path does not expose per-sample emission "
                         "for the surface/sparsity terms)")
                 emission_s = None
+                chroma_s = None  # make_graph applies the combine internally
                 graph = make_graph(covs, rays.viewdirs, keys[2 * i_level + 1],
                                    fused=first_order or not fine_level)
                 if fine:
@@ -424,12 +438,14 @@ class PanoMipNeRF(BaseNeRF):
                     # materializes and breaks fusion windows.
                     raw_rgb_alt = self._view_branch(params, bottleneck,
                                                     d_alt)
+                    # chroma is view-independent (density-head channels):
+                    # the alternate direction reuses the primary split.
+                    chroma_alt = chroma_s
                 else:
-                    raw_rgb_alt, _ = self._raw_outputs(
+                    raw_rgb_alt, raw_density_alt = self._raw_outputs(
                         params, means, covs, d_alt, fused=True)
-                rgb_alt_s = (jax.nn.softplus(raw_rgb_alt)
-                             * (1.0 + 2.0 * self.rgb_padding)
-                             - self.rgb_padding)
+                    chroma_alt = self._split_chroma(raw_density_alt)
+                rgb_alt_s = self._rgb_from_raw(raw_rgb_alt, chroma_alt)
                 if emission_s is not None:
                     # Emission is view-independent by construction: include
                     # it in both composites so the vc pull acts only on the

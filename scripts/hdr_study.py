@@ -368,6 +368,26 @@ VARIANTS = {
                          "loss.chrom_loss": 0.0,
                          "loss.vc_chroma": 0.1,
                          "loss.vc_chroma_sg": True},
+    # Chroma HEAD (nerf.chroma_head, duo attack #4 — structural): both
+    # loss-side chroma ties measured NEGATIVE (the symmetric tie drags
+    # the supervised primary into the collapse; the one-way sg tie
+    # regresses duo_cool +4.43 -> +1.01 with a backwards spectrum and
+    # merely flips which duo source resolves). The head factorizes
+    # rgb = 3*softplus(mean(raw_rgb)) * softmax(chroma(trunk)) so a
+    # point's spectrum is ONE view-independent simplex — the secondary
+    # reads consume exactly the primary-supervised spectrum by
+    # construction, no tie loss needed.
+    "ch": {"nerf.chroma_head": True},
+    "etc_ch": {"nerf.env_tight_rgb": 0.01, "nerf.env_tight_chroma": True,
+               "nerf.chroma_head": True},
+    "etc_chromic_ch": {"nerf.env_tight_rgb": 0.01,
+                       "nerf.env_tight_chroma": True,
+                       "loss.chrom_illum_comp": True,
+                       "nerf.chroma_head": True},
+    "etc_chrom0_ch": {"nerf.env_tight_rgb": 0.01,
+                      "nerf.env_tight_chroma": True,
+                      "loss.chrom_loss": 0.0,
+                      "nerf.chroma_head": True},
 }
 
 
