@@ -16,8 +16,12 @@ This module implements the NO-normals variant used by the coarse level and
 the secondary (env/irradiance) radiance queries in TRAINING
 (reference semantics: /root/reference/models/mip.py:444-483 volumetric
 rendering over models/pano_mip_nerf.py:263-278 activations). The fine
-level's variant (normals + expectations + ort) lives in
-fused_render_train_fine.py.
+level's variant (normals + expectations + ort) is NOT built: the round-3
+A/B measured this pair at 67k rays/s vs XLA's ~98-131k at batch 512 (the
+Mosaic backward runs at ~50% of the v3 kernel's roofline — NOTES.md
+"Round-3 kernel study"), so the fine level keeps the XLA path and these
+kernels ship as the measured building blocks for a future megakernel
+with a structurally better backward.
 
 Backward derivation (per ray q, samples s; dd = softplus(raw_sigma +
 bias) * delta, tau_s = sum_{j<s} dd_j, w_s = (1-e^{-dd_s}) e^{-tau_s}):
