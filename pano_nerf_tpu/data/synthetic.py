@@ -56,9 +56,19 @@ class Emitter:
 
 @dataclasses.dataclass(frozen=True)
 class SceneSpec:
-    """Analytic box-room description (half-extents + emissive patches)."""
+    """Analytic box-room description (half-extents + emissive patches).
+
+    `albedo_mode`: "wave" (default) — the smooth sinusoidal modulation;
+    its wave multiplies all three channels equally, so albedo CHROMA is
+    constant per face (the easy case for the albedo-chroma prior).
+    "checker" — a world-space checker alternating each face's base
+    albedo with its hue-rotated complement: albedo chroma varies
+    SPATIALLY within every face, the hard case for any prior that
+    assumes locally consistent surface chroma.
+    """
     box: Tuple[float, float, float] = (2.0, 1.5, 2.5)
     emitters: Tuple[Emitter, ...] = (Emitter(),)
+    albedo_mode: str = "wave"
 
 
 # Default box half-extents, importable for geometry assertions.
@@ -119,6 +129,13 @@ SCENE_VARIANTS = {
         Emitter(face=1, center=(-0.4, 0.3), half=0.8,
                 radiance=(9.5, 8.0, 6.5)),
     )),
+    # Chromatic-texture generality: the default emitter over checker
+    # albedo whose CHROMA varies spatially within each face (the wave
+    # texture modulates all channels equally, so per-face chroma is
+    # constant — exactly the condition the albedo-chroma prior and the
+    # illuminant-compensated variant were tuned under). Gates whether
+    # the shipped HDR recipes survive spatially-varying surface chroma.
+    "checker": SceneSpec(albedo_mode="checker"),
 }
 
 
@@ -168,11 +185,25 @@ def _intersect_box(origins: np.ndarray, dirs: np.ndarray,
     return t_best, pts, face
 
 
-def _albedo_at(pts: np.ndarray, face: np.ndarray) -> np.ndarray:
-    """Smoothly varying per-face albedo in the NeRFactor-ish [0.05, 0.8]."""
+def _albedo_at(pts: np.ndarray, face: np.ndarray,
+               mode: str = "wave") -> np.ndarray:
+    """Per-face albedo in the NeRFactor-ish [0.05, 0.8].
+
+    "wave": smooth sinusoidal modulation, constant chroma per face.
+    "checker": world-space checker (cell 0.8) alternating the face's
+    base albedo with its channel-rotated complement — spatially varying
+    chroma with hard edges, plus the wave as intensity variation.
+    """
     base = _FACE_BASE_ALBEDO[face]
     wave = 0.5 + 0.5 * np.sin(2.1 * pts[:, 0]) * np.cos(1.7 * pts[:, 2]) \
         * np.sin(1.3 * pts[:, 1] + 0.7)
+    if mode == "checker":
+        alt = np.roll(_FACE_BASE_ALBEDO, 1, axis=-1)[face]
+        parity = (np.floor(pts / 0.8).astype(np.int64).sum(-1) % 2
+                  ).astype(np.float64)[:, None]
+        base = base * (1.0 - parity) + alt * parity
+    elif mode != "wave":
+        raise ValueError(f"unknown albedo_mode {mode!r}")
     alb = base * (0.6 + 0.4 * wave[:, None])
     return np.clip(alb, 0.05, 0.8)
 
@@ -225,7 +256,7 @@ def render_pano(origin: np.ndarray, height: int, width: int,
     origins = np.broadcast_to(origin, dirs.shape)
     t, pts, face = _intersect_box(origins, dirs, box)
     normals = _FACE_NORMALS[face] * -1.0  # inward-facing
-    albedo = _albedo_at(pts, face)
+    albedo = _albedo_at(pts, face, spec.albedo_mode)
 
     irr = _irradiance_at(spec, pts, normals)
     radiance = albedo / np.pi * irr

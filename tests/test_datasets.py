@@ -310,6 +310,34 @@ class TestSceneVariants:
         # partial saturation: R above the ACES knee, B below
         assert img.max(0)[0] > 7.25 and spec.emitters[0].radiance[2] < 7.24
 
+    def test_checker_variant_spatial_chroma(self):
+        """The checker variant must vary albedo CHROMA within a face
+        (the property that stresses the albedo-chroma priors); the wave
+        default must have exactly constant within-face chroma. Checker
+        albedo stays a deterministic function of the world point
+        (multi-view-consistent)."""
+        from pano_nerf_tpu.data.synthetic import (SCENE_VARIANTS, SceneSpec,
+                                                  _albedo_at, render_pano)
+        assert SCENE_VARIANTS["checker"] == SceneSpec(albedo_mode="checker")
+        rng = np.random.default_rng(0)
+        pts = np.column_stack([np.full(300, 2.0),
+                               rng.uniform(-1.5, 1.5, 300),
+                               rng.uniform(-2.5, 2.5, 300)])
+        face = np.ones(300, dtype=np.int64)
+        for mode, want_var in (("wave", False), ("checker", True)):
+            a = _albedo_at(pts, face, mode)
+            c = a / a.sum(-1, keepdims=True)
+            assert (c.std(0).max() > 0.05) == want_var, mode
+            assert (a >= 0.05 - 1e-6).all() and (a <= 0.8 + 1e-6).all()
+        np.testing.assert_array_equal(_albedo_at(pts, face, "checker"),
+                                      _albedo_at(pts, face, "checker"))
+        with pytest.raises(ValueError, match="albedo_mode"):
+            _albedo_at(pts, face, "nope")
+        # emitter pixels still carry exact radiance over the checker
+        q = render_pano(np.zeros(3), 32, 64, SCENE_VARIANTS["checker"])
+        img = q["image"].reshape(-1, 3)
+        assert np.all(img == np.float32([9.0, 8.4, 7.2]), axis=-1).any()
+
     def test_generate_scene_variant_roundtrip(self, tmp_path):
         from pano_nerf_tpu.data.synthetic import generate_scene
         d = str(tmp_path / "wall")
