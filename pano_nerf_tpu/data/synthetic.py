@@ -55,6 +55,20 @@ class Emitter:
 
 
 @dataclasses.dataclass(frozen=True)
+class Occluder:
+    """An axis-aligned box standing inside the room.
+
+    Cameras see its EXTERIOR faces; it blocks emitter visibility (hard
+    point-source shadows) in `_irradiance_at`. `albedo_shift` rolls the
+    per-face base-albedo table so occluder faces are distinguishable
+    from the room face behind them.
+    """
+    center: Tuple[float, float, float] = (1.2, -0.35, 0.8)
+    half: Tuple[float, float, float] = (0.25, 1.15, 0.25)
+    albedo_shift: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
 class SceneSpec:
     """Analytic box-room description (half-extents + emissive patches).
 
@@ -65,10 +79,16 @@ class SceneSpec:
     albedo with its hue-rotated complement: albedo chroma varies
     SPATIALLY within every face, the hard case for any prior that
     assumes locally consistent surface chroma.
+
+    `occluders`: interior boxes that both occlude primary rays and cast
+    hard shadows from every emitter (the point-source visibility term) —
+    the geometry class where the irradiance integral must read the
+    density field's OCCLUSION, not just the source intensity.
     """
     box: Tuple[float, float, float] = (2.0, 1.5, 2.5)
     emitters: Tuple[Emitter, ...] = (Emitter(),)
     albedo_mode: str = "wave"
+    occluders: Tuple[Occluder, ...] = ()
 
 
 # Default box half-extents, importable for geometry assertions.
@@ -136,6 +156,15 @@ SCENE_VARIANTS = {
     # illuminant-compensated variant were tuned under). Gates whether
     # the shipped HDR recipes survive spatially-varying surface chroma.
     "checker": SceneSpec(albedo_mode="checker"),
+    # Occlusion generality: the default scene plus a floor-to-mid-height
+    # column that (a) the cameras see as foreground geometry and (b)
+    # casts a hard shadow from the ceiling emitter onto the floor/walls.
+    # Every other variant is a convex room interior where all surfaces
+    # see all emitters; this is the first scene where the irradiance
+    # integral's VISIBILITY (secondary rays marching through occluding
+    # density) carries signal, and where the surface loss must agree
+    # with shadowed GT.
+    "shadow": SceneSpec(occluders=(Occluder(),)),
 }
 
 
@@ -185,20 +214,86 @@ def _intersect_box(origins: np.ndarray, dirs: np.ndarray,
     return t_best, pts, face
 
 
+def _intersect_occluder(origins: np.ndarray, dirs: np.ndarray,
+                        occ: Occluder) -> Tuple[np.ndarray, np.ndarray]:
+    """Ray/box-EXTERIOR intersection (slab method).
+
+    Returns t [N] (inf on miss) and hit face index [N] in the same
+    [-x,+x,-y,+y,-z,+z] order as the room faces (outward normals).
+    """
+    c = np.asarray(occ.center, dtype=np.float64)
+    h = np.asarray(occ.half, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = (c - h - origins) / dirs
+        t2 = (c + h - origins) / dirs
+    # Degenerate axes (dir component == 0): inside the slab -> (-inf, inf)
+    # from the division; exactly ON a slab boundary gives 0/0 = nan —
+    # treat as non-blocking on that axis.
+    lo = np.minimum(t1, t2)
+    hi = np.maximum(t1, t2)
+    lo = np.where(np.isnan(lo), -np.inf, lo)
+    hi = np.where(np.isnan(hi), np.inf, hi)
+    t_near = lo.max(axis=-1)
+    t_far = hi.min(axis=-1)
+    hit = (t_near < t_far) & (t_near > 1e-6)
+    axis = lo.argmax(axis=-1)
+    # Entering from the low side iff the entry t came from the (c-h) plane.
+    enter_lo = np.take_along_axis(
+        np.isclose(lo, t1), axis[:, None], axis=-1)[:, 0]
+    face = 2 * axis + (~enter_lo).astype(np.int64)
+    return np.where(hit, t_near, np.inf), face
+
+
+def _trace(origins: np.ndarray, dirs: np.ndarray, spec: SceneSpec
+           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                      np.ndarray]:
+    """Nearest hit against the room walls and every occluder.
+
+    Returns t [N], points [N,3], face [N], inward surface normals [N,3],
+    and occ_id [N] (-1 = room wall, else occluder index).
+    """
+    box = np.asarray(spec.box, dtype=np.float64)
+    t, pts, face = _intersect_box(origins, dirs, box)
+    occ_id = np.full(t.shape, -1, dtype=np.int64)
+    for i, occ in enumerate(spec.occluders):
+        t_o, face_o = _intersect_occluder(origins, dirs, occ)
+        closer = t_o < t
+        t = np.where(closer, t_o, t)
+        face = np.where(closer, face_o, face)
+        occ_id = np.where(closer, i, occ_id)
+    with np.errstate(invalid="ignore"):
+        pts = origins + t[:, None] * dirs
+    # Room walls face inward (-outward); occluder exteriors face outward.
+    normals = _FACE_NORMALS[face] * np.where(occ_id[:, None] >= 0, 1.0,
+                                             -1.0)
+    return t, pts, face, normals, occ_id
+
+
 def _albedo_at(pts: np.ndarray, face: np.ndarray,
-               mode: str = "wave") -> np.ndarray:
+               mode: str = "wave",
+               occ_id: np.ndarray | None = None,
+               spec: SceneSpec | None = None) -> np.ndarray:
     """Per-face albedo in the NeRFactor-ish [0.05, 0.8].
 
     "wave": smooth sinusoidal modulation, constant chroma per face.
     "checker": world-space checker (cell 0.8) alternating the face's
     base albedo with its channel-rotated complement — spatially varying
     chroma with hard edges, plus the wave as intensity variation.
+    Occluder hits (occ_id >= 0) read a rolled base-albedo table so the
+    column is chromatically distinct from the wall behind it.
     """
     base = _FACE_BASE_ALBEDO[face]
+    alt = np.roll(_FACE_BASE_ALBEDO, 1, axis=-1)[face]
+    if occ_id is not None and spec is not None:
+        for i, occ in enumerate(spec.occluders):
+            rolled = np.roll(_FACE_BASE_ALBEDO, occ.albedo_shift, axis=0)
+            on = occ_id == i
+            base = np.where(on[:, None], rolled[face], base)
+            alt = np.where(on[:, None],
+                           np.roll(rolled, 1, axis=-1)[face], alt)
     wave = 0.5 + 0.5 * np.sin(2.1 * pts[:, 0]) * np.cos(1.7 * pts[:, 2]) \
         * np.sin(1.3 * pts[:, 1] + 0.7)
     if mode == "checker":
-        alt = np.roll(_FACE_BASE_ALBEDO, 1, axis=-1)[face]
         parity = (np.floor(pts / 0.8).astype(np.int64).sum(-1) % 2
                   ).astype(np.float64)[:, None]
         base = base * (1.0 - parity) + alt * parity
@@ -217,13 +312,39 @@ def _emitter_mask(spec: SceneSpec, e: Emitter, pts: np.ndarray,
             & (np.abs(pts[:, oth[1]] - e.center[1]) < e.half))
 
 
+def _segment_blocked(starts: np.ndarray, end: np.ndarray,
+                     spec: SceneSpec) -> np.ndarray:
+    """True where the segment start -> end crosses any occluder box."""
+    blocked = np.zeros(starts.shape[0], dtype=bool)
+    d = end - starts
+    for occ in spec.occluders:
+        c = np.asarray(occ.center, dtype=np.float64)
+        h = np.asarray(occ.half, dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = (c - h - starts) / d
+            t2 = (c + h - starts) / d
+        lo = np.minimum(t1, t2)
+        hi = np.maximum(t1, t2)
+        lo = np.where(np.isnan(lo), -np.inf, lo)
+        hi = np.where(np.isnan(hi), np.inf, hi)
+        t_near = lo.max(axis=-1)
+        t_far = hi.min(axis=-1)
+        # Overlap of [t_near, t_far] with the open segment (0, 1); eps
+        # margins keep surface-adjacent starts and the emitter end open.
+        blocked |= ((t_near < t_far) & (t_far > 1e-4)
+                    & (t_near < 1.0 - 1e-4))
+    return blocked
+
+
 def _irradiance_at(spec: SceneSpec, pts: np.ndarray, normals: np.ndarray
                    ) -> np.ndarray:
     """Approximate irradiance from the emissive patches + ambient bounce.
 
     Point-source approximation of each patch (center c, area A): E =
     L * A * cos(theta_r) * cos(theta_l) / d^2, plus a constant ambient term —
-    smooth, positive, view-independent.
+    smooth, positive, view-independent. Occluders gate the direct term
+    (hard point-source shadows); the ambient bounce term stays unshadowed
+    (shadows are lit by bounce light, not pitch black).
     """
     total = np.zeros((pts.shape[0], 3))
     for e in spec.emitters:
@@ -238,6 +359,10 @@ def _irradiance_at(spec: SceneSpec, pts: np.ndarray, normals: np.ndarray
         cos_l = np.clip(np.sum(-lv * n_e, axis=-1), 0.0, None)
         mean_L = rad.mean()
         direct = mean_L * area * cos_r * cos_l / d2
+        if spec.occluders:
+            shadow_starts = pts + 1e-4 * normals
+            direct = np.where(_segment_blocked(shadow_starts, c, spec),
+                              0.0, direct)
         ambient = 0.35 * mean_L * area / 20.0
         total = total + (direct + ambient)[:, None] * (rad / mean_L)
     return total
@@ -250,18 +375,17 @@ def render_pano(origin: np.ndarray, height: int, width: int,
     Returns dict of float32 arrays: image [H,W,3] HDR, albedo [H,W,3],
     normal [H,W,3] in [0,1] encoding, depth [H,W,1].
     """
-    box = np.asarray(spec.box, dtype=np.float64)
     dirs, _ = equirect_camera_dirs(height, width)
     dirs = dirs.reshape(-1, 3).astype(np.float64)
     origins = np.broadcast_to(origin, dirs.shape)
-    t, pts, face = _intersect_box(origins, dirs, box)
-    normals = _FACE_NORMALS[face] * -1.0  # inward-facing
-    albedo = _albedo_at(pts, face, spec.albedo_mode)
+    t, pts, face, normals, occ_id = _trace(origins, dirs, spec)
+    albedo = _albedo_at(pts, face, spec.albedo_mode, occ_id, spec)
 
     irr = _irradiance_at(spec, pts, normals)
     radiance = albedo / np.pi * irr
     for e in spec.emitters:
-        radiance[_emitter_mask(spec, e, pts, face)] = e.radiance
+        radiance[_emitter_mask(spec, e, pts, face) & (occ_id < 0)] \
+            = e.radiance
 
     out = {
         "image": radiance.reshape(height, width, 3),
@@ -288,9 +412,18 @@ def generate_scene(out_dir: str, n_views: int = 6, height: int = 64,
     os.makedirs(out_dir, exist_ok=True)
     meta = {m: [] for m in ("image", "albedo", "normal", "depth")}
 
+    def _inside_occluder(o: np.ndarray) -> bool:
+        return any(np.all(np.abs(o - np.asarray(occ.center))
+                          <= np.asarray(occ.half) + 0.05)
+                   for occ in spec.occluders)
+
     b2w = bld_to_wd()
     for i in range(n_views):
         origin = rng.uniform(-0.5, 0.5, 3) * np.array([1.0, 0.6, 1.0])
+        # Rejection keeps cameras out of interior occluders (no rng
+        # consumption change for occluder-free variants).
+        while _inside_occluder(origin):
+            origin = rng.uniform(-0.5, 0.5, 3) * np.array([1.0, 0.6, 1.0])
         quads = render_pano(origin, height, width, spec)
         # The loader reconstructs origin as translate @ bld_to_wd()
         # (pano_datasets.py:96-97); store the pre-image of that map.

@@ -345,3 +345,49 @@ class TestSceneVariants:
         ds = PanoDataset(d, split="train", factor=1, num=[0],
                          range=(0, 10))
         assert ds.num_rays == 16 * 32
+
+    def test_shadow_variant_occlusion(self):
+        """The shadow variant: the occluder column is visible geometry
+        (closer-than-wall depth, exact surface hits, camera-facing
+        normals) AND gates the direct irradiance term (the floor point
+        on the emitter-column line is darker than its unshadowed mirror
+        image). Zero occluders must leave every scene bitwise unchanged
+        (the default spec comparison below plus the canonical-scene
+        golden test above cover that)."""
+        from pano_nerf_tpu.data.synthetic import (SCENE_VARIANTS, Occluder,
+                                                  SceneSpec, _irradiance_at,
+                                                  _trace, render_pano)
+        spec = SCENE_VARIANTS["shadow"]
+        assert spec == SceneSpec(occluders=(Occluder(),))
+        occ = spec.occluders[0]
+        c = np.asarray(occ.center)
+        h = np.asarray(occ.half)
+
+        from pano_nerf_tpu.data.pano_dataset import equirect_camera_dirs
+        dirs, _ = equirect_camera_dirs(64, 128)
+        dirs = dirs.reshape(-1, 3).astype(np.float64)
+        origins = np.broadcast_to(np.zeros(3), dirs.shape)
+        t, pts, face, normals, occ_id = _trace(origins, dirs, spec)
+        m = occ_id == 0
+        assert m.sum() > 100, "column not visible from the origin"
+        resid = np.abs(np.abs(pts[m] - c) - h).min(-1)
+        assert resid.max() < 1e-9, "occluder hits off its surface"
+        assert (np.sum(dirs[m] * normals[m], -1) < 1e-9).all()
+
+        # Hard shadow: floor point behind the column (on the emitter ->
+        # column-center line) vs its mirror image (unshadowed by symmetry
+        # of the ambient + cosine terms).
+        e_c = np.array([0.0, 1.5, 0.0])
+        tdir = np.array([c[0], 0.0, c[2]]) - e_c
+        p_sh = e_c + ((-1.5 - e_c[1]) / tdir[1]) * tdir
+        p_lit = np.array([-p_sh[0], -1.5, -p_sh[2]])
+        up = np.array([[0.0, 1.0, 0.0]] * 2)
+        irr = _irradiance_at(spec, np.stack([p_sh, p_lit]), up)
+        assert irr[0].sum() < 0.5 * irr[1].sum(), "no shadow cast"
+
+        # Emitter pixels still carry exact radiance; occluder hits never do.
+        q = render_pano(np.zeros(3), 64, 128, spec)
+        img = q["image"].reshape(-1, 3)
+        is_emit = np.all(img == np.float32([9.0, 8.4, 7.2]), axis=-1)
+        assert is_emit.any()
+        assert not (is_emit & m).any()
