@@ -50,21 +50,20 @@ def _gt_along(spec, origins: np.ndarray, dirs: np.ndarray):
     """GT radiance + source id for rays (origins inside the box).
 
     Returns (radiance [N, 3], source_id [N] with -1 = non-emitter hit,
-    t_hit [N]). Mirrors data/synthetic.render_pano's shading exactly.
+    t_hit [N]). Mirrors data/synthetic.render_pano's shading exactly
+    (occluder geometry/shadows and the variant's albedo mode included).
     """
-    box = np.asarray(spec.box, dtype=np.float64)
-    t, pts, face = synthetic._intersect_box(
-        origins.astype(np.float64), dirs.astype(np.float64), box)
+    t, pts, face, normals, occ_id = synthetic._trace(
+        origins.astype(np.float64), dirs.astype(np.float64), spec)
     # Edge-grazing rays can miss every face (t = inf); zero their hit
     # point for the shading math below — callers exclude them by t.
     pts = np.where(np.isfinite(t)[:, None], pts, 0.0)
-    normals = synthetic._FACE_NORMALS[face] * -1.0
-    albedo = synthetic._albedo_at(pts, face)
+    albedo = synthetic._albedo_at(pts, face, spec.albedo_mode, occ_id, spec)
     irr = synthetic._irradiance_at(spec, pts, normals)
     radiance = albedo / np.pi * irr
     sid = np.full(t.shape[0], -1, dtype=np.int64)
     for i, e in enumerate(spec.emitters):
-        mask = synthetic._emitter_mask(spec, e, pts, face)
+        mask = synthetic._emitter_mask(spec, e, pts, face) & (occ_id < 0)
         radiance[mask] = e.radiance
         sid[mask] = i
     return radiance.astype(np.float32), sid, t.astype(np.float32)
@@ -78,16 +77,21 @@ def _surface_points(spec, n_points: int, seed: int):
     while len(pts_out) < n_points:
         n_draw = 4 * n_points
         origins = rng.uniform(-0.5, 0.5, size=(n_draw, 3)) * box
-        d = rng.normal(size=(n_draw, 3))
+        # Keep probe origins out of interior occluders (shadow variants).
+        for occ in spec.occluders:
+            inside = np.all(np.abs(origins - np.asarray(occ.center))
+                            <= np.asarray(occ.half) + 0.02, axis=-1)
+            origins = origins[~inside]
+        d = rng.normal(size=(origins.shape[0], 3))
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        _, pts, face = synthetic._intersect_box(origins, d, box)
-        on_emitter = np.zeros(n_draw, dtype=bool)
+        _, pts, face, normals, occ_id = synthetic._trace(origins, d, spec)
+        on_emitter = np.zeros(origins.shape[0], dtype=bool)
         for e in spec.emitters:
-            on_emitter |= synthetic._emitter_mask(spec, e, pts, face)
+            on_emitter |= (synthetic._emitter_mask(spec, e, pts, face)
+                           & (occ_id < 0))
         # Rays grazing a box edge can miss every face within tolerance
         # (t = inf) — drop them rather than propagate non-finite points.
         keep = ~on_emitter & np.isfinite(pts).all(-1)
-        normals = synthetic._FACE_NORMALS[face] * -1.0
         pts_out.extend(pts[keep])
         nrm_out.extend(normals[keep])
     pts = np.asarray(pts_out[:n_points], np.float32)
