@@ -185,6 +185,10 @@ VARIANTS = {
     # floor (softplus(-3)=0.049 radiance glows through the tonemap on
     # dark pixels) or under-sparsity (emission absorbing texture)?
     "em_b6": {"nerf.emissive_head": True, "nerf.emission_bias": -6.0},
+    # Reference-default secondary march density (S=10 vs the shipped 5):
+    # the occlusion study (shadow scene) probes whether a finer env march
+    # can resolve a thin occluder the S=5 spacing steps over.
+    "e10": {"nerf.num_env_samples": 10},
     # Float-LDR GT (no 8-bit quantization): probe whether the quasi-
     # saturated channel drift on the wall scene is quantization-limited.
     # MEASURED NO (44k wall): B 8.89 vs prod 7.77 (GT 5.0), HDR -0.82

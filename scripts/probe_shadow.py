@@ -80,7 +80,8 @@ def _floor_points(spec, n: int, seed: int):
             np.asarray(lit[:want], np.float32))
 
 
-def _pred_irradiance(model, params, env_rays, pts: np.ndarray) -> np.ndarray:
+def _pred_irradiance(model, params, env_rays, pts: np.ndarray,
+                     return_comp: bool = False):
     """The model's irradiance estimate at `pts` (up normals), via the
     eval-mode query: fixed env directions, blurred-scale march,
     sum_d comp_d cos_d^+ domega_d. The tight-chroma re-read (etc) only
@@ -103,7 +104,50 @@ def _pred_irradiance(model, params, env_rays, pts: np.ndarray) -> np.ndarray:
     comp = np.asarray(comp).reshape(N, D, 3)
     cos = np.maximum(np.asarray(dirs)[None, :, 1], 0.0)      # up normal
     domega = np.asarray(env_rays.lossmult).reshape(1, D)
-    return (comp * (cos * domega)[..., None]).sum(1)
+    irr = (comp * (cos * domega)[..., None]).sum(1)
+    return (irr, comp) if return_comp else irr
+
+
+def _per_direction_report(model, params, env_rays, spec, pts: np.ndarray):
+    """Mechanism decomposition: along each (point, env-direction) ray,
+    compare the marched composite against GT radiance, split by what the
+    GT ray hits (occluder column / emitter / other wall). A march that
+    cannot RESOLVE the column shows pred >> GT exactly on the occluder
+    class (it reads the emitter/wall through the column)."""
+    dirs = np.asarray(env_rays.directions, np.float64)
+    N, D = pts.shape[0], dirs.shape[0]
+    _, comp = _pred_irradiance(model, params, env_rays, pts,
+                               return_comp=True)
+    p_rep = np.repeat(pts.astype(np.float64), D, axis=0)
+    d_til = np.tile(dirs, (N, 1))
+    t, hp, face, _, occ_id = synthetic._trace(p_rep, d_til, spec)
+    gt_rgb = np.zeros((N * D, 3))
+    keep = np.isfinite(t)
+    # GT radiance along the ray = render_pano's shading at the hit point.
+    alb = synthetic._albedo_at(np.where(keep[:, None], hp, 0.0), face,
+                               spec.albedo_mode, occ_id, spec)
+    nrm = synthetic._FACE_NORMALS[face] * np.where(
+        occ_id[:, None] >= 0, 1.0, -1.0)
+    irr = synthetic._irradiance_at(spec, np.where(keep[:, None], hp, 0.0),
+                                   nrm)
+    gt_rgb = alb / np.pi * irr
+    is_emit = np.zeros(N * D, dtype=bool)
+    for e in spec.emitters:
+        m = synthetic._emitter_mask(spec, e, hp, face) & (occ_id < 0)
+        gt_rgb[m] = e.radiance
+        is_emit |= m
+    cls = np.where(occ_id >= 0, "occluder",
+                   np.where(is_emit, "emitter", "wall"))
+    rows = []
+    comp_flat = comp.reshape(N * D, 3)
+    for tag in ("occluder", "emitter", "wall"):
+        m = (cls == tag) & keep
+        if not m.any():
+            continue
+        rows.append({"gt_hit": tag, "pairs": int(m.sum()),
+                     "gt_luma": round(float(gt_rgb[m].mean()), 4),
+                     "pred_luma": round(float(comp_flat[m].mean()), 4)})
+    return rows
 
 
 def main():
@@ -151,6 +195,9 @@ def main():
                "gt_luma": round(float(gt.mean()), 4),
                "pred_luma": round(float(pred.mean()), 4)}
         rows[tag] = row
+        print(json.dumps(row), flush=True)
+    for row in _per_direction_report(tr.system.model, state.params,
+                                     tr.system.env_rays, spec, p_sh):
         print(json.dumps(row), flush=True)
     summary = {
         "gt_contrast": round(rows["lit"]["gt_luma"]
