@@ -142,6 +142,21 @@ class BaseNeRF:
     # degrades to the neutral blurred read instead of amplifying noise.
     env_tight_chroma: bool = False
     env_tight_chroma_eps: float = 0.01
+    # Occlusion fix (requires env_tight_rgb > 0, full-S): composite the
+    # secondary march ENTIRELY at the tight scale — radiance AND weights
+    # from the tight re-read, sample placement unchanged (the blurred
+    # march). The shadow-scene probe measured the blurred-scale
+    # composite as a near-uniform fog along every secondary direction
+    # (pred lit/shadow irradiance contrast 1.10 vs GT 4.91): at the
+    # blurred IPE scale nothing pins per-direction structure, so neither
+    # an occluder's darkness nor the emitter's brightness survives to
+    # the integral. The tight-scale density IS primary-supervised — a
+    # real occluder terminates the tight march — and unlike env_resample
+    # there is no CDF feedback loop (placement stays the blurred
+    # march's). Zero extra MLP rows when the tight re-read is already
+    # paid for; subsumes the chroma combine (the tight composite carries
+    # tight chroma by construction), so env_tight_chroma must stay off.
+    env_tight_weights: bool = False
     # Cost reduction for the tight re-read (requires env_tight_chroma):
     # evaluate the tight-scale radiance ONLY at the argmax-weight sample
     # of the blurred march (the dominant surface hit) instead of at all
@@ -335,6 +350,21 @@ class BaseNeRF:
                     "env_tight_topk and env_tight_top1 are mutually "
                     "exclusive (top1 is the K=1 dominant-hit special "
                     "case).")
+        if self.env_tight_weights:
+            if self.env_tight_rgb <= 0:
+                raise ValueError(
+                    "env_tight_weights composites the tight re-read, so "
+                    "it requires env_tight_rgb > 0.")
+            if self.env_tight_chroma or self.env_tight_top1 \
+                    or self.env_tight_topk > 0:
+                raise ValueError(
+                    "env_tight_weights needs the full-S tight re-read "
+                    "and already carries tight chroma by construction — "
+                    "leave env_tight_chroma/top1/topk off.")
+            if self.env_resample:
+                raise ValueError(
+                    "env_tight_weights and env_resample are alternative "
+                    "second-scale march formulations — pick one.")
 
     def _auto_fused_train(self, batch: int):
         """Batch-aware training-kernel policy (NOTES.md crossover): returns
@@ -401,6 +431,8 @@ class BaseNeRF:
                 hparams.get("nerf.env_tight_chroma_eps", 0.01)),
             env_tight_top1=bool(hparams.get("nerf.env_tight_top1", False)),
             env_tight_topk=int(hparams.get("nerf.env_tight_topk", 0)),
+            env_tight_weights=bool(
+                hparams.get("nerf.env_tight_weights", False)),
             num_coarse_samples=int(
                 hparams.get("nerf.num_coarse_samples", 0)),
             compute_dtype=dtype,

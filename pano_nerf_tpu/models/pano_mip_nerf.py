@@ -597,6 +597,24 @@ class PanoMipNeRF(BaseNeRF):
                             t_rgb, _, _, _ = tight_graph(gather(lit_means))
                             tight_read = jnp.sum(
                                 w_k[..., None] * t_rgb, axis=-2)
+                        elif self.env_tight_weights:
+                            # Occlusion fix (BaseNeRF.env_tight_weights):
+                            # the whole composite rides the tight scale —
+                            # radiance AND transmittance from the tight
+                            # re-read, placement from the blurred march.
+                            # The tight-scale density is what the primary
+                            # views supervise, so a real occluder
+                            # terminates the march (the blurred-scale
+                            # composite is a measured per-direction fog:
+                            # NOTES.md shadow study); no CDF feedback
+                            # (the env_resample failure mode).
+                            tight_graph = make_graph(
+                                lit_covs * self.env_tight_rgb, lit_dirs,
+                                None, fused=True)
+                            t_rgb, t_den, _, _ = tight_graph(lit_means)
+                            tight_read = mip.volumetric_rendering(
+                                t_rgb, t_den, lit_t, lit_dirs,
+                                white_bkgd=False)[0]
                         else:
                             tight_graph = make_graph(
                                 lit_covs * self.env_tight_rgb, lit_dirs,

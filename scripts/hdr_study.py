@@ -189,6 +189,25 @@ VARIANTS = {
     # the occlusion study (shadow scene) probes whether a finer env march
     # can resolve a thin occluder the S=5 spacing steps over.
     "e10": {"nerf.num_env_samples": 10},
+    # Occlusion fix (nerf.env_tight_weights): composite the secondary
+    # march entirely at the tight scale — radiance AND transmittance from
+    # the tight re-read at blurred-placed samples. The blurred composite
+    # was measured to be a per-direction fog (shadow probe: contrast 1.10
+    # vs GT 4.91); the tight-scale density is primary-supervised, so a
+    # real occluder terminates the march. No CDF feedback (the
+    # env_resample failure mode).
+    "etw": {"nerf.env_tight_rgb": 0.01, "nerf.env_tight_weights": True},
+    # + finer placement (the S=5 uniform march can step over a thin
+    # occluder entirely; S=10 halves the spacing).
+    "etw_e10": {"nerf.env_tight_rgb": 0.01,
+                "nerf.env_tight_weights": True,
+                "nerf.num_env_samples": 10},
+    # + the compensated albedo prior (the chromic half of the best
+    # single-source recipe; the chroma half is subsumed — the tight
+    # composite carries tight chroma by construction).
+    "etw_chromic": {"nerf.env_tight_rgb": 0.01,
+                    "nerf.env_tight_weights": True,
+                    "loss.chrom_illum_comp": True},
     # Float-LDR GT (no 8-bit quantization): probe whether the quasi-
     # saturated channel drift on the wall scene is quantization-limited.
     # MEASURED NO (44k wall): B 8.89 vs prod 7.77 (GT 5.0), HDR -0.82

@@ -668,6 +668,91 @@ class TestEnvTightRgb:
         assert m.env_tight_rgb == 0.0
 
 
+class TestEnvTightWeights:
+    """Occlusion fix (BaseNeRF.env_tight_weights): the secondary march
+    composites ENTIRELY at the tight scale — radiance and transmittance
+    from the tight re-read, placement from the blurred march. At
+    env_tight_rgb = 1.0 the tight Gaussians are the blurred Gaussians,
+    so the composite must reproduce the baseline bitwise-closely; at
+    0.01 both the radiance AND the weights move (unlike env_tight_rgb
+    alone, which keeps blurred weights)."""
+
+    def _kw(self):
+        return dict(randomized=True, white_bkgd=False, enable_surf=True,
+                    use_ort_loss=False)
+
+    def test_scale_one_matches_baseline(self, pano, envrays):
+        import dataclasses
+        m, p = pano
+        m1 = dataclasses.replace(m, env_tight_rgb=1.0,
+                                 env_tight_weights=True)
+        rays = make_rays(5, key=13)
+        base = m(p, jax.random.PRNGKey(4), rays, envrays, **self._kw())
+        tw = m1(p, jax.random.PRNGKey(4), rays, envrays, **self._kw())
+        np.testing.assert_allclose(np.asarray(tw[-1].surf_rgb),
+                                   np.asarray(base[-1].surf_rgb),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(tw[-1].rgb),
+                                      np.asarray(base[-1].rgb))
+
+    def test_tight_weights_differ_from_blurred_weights(self, pano,
+                                                       envrays):
+        """The knob's content vs env_tight_rgb alone IS the weight swap:
+        at the same tight scale the two must disagree (tight densities
+        produce different transmittance than the blurred march's)."""
+        import dataclasses
+        m, p = pano
+        rays = make_rays(5, key=13)
+        etr = dataclasses.replace(m, env_tight_rgb=0.01)
+        etw = dataclasses.replace(m, env_tight_rgb=0.01,
+                                  env_tight_weights=True)
+        a = etr(p, jax.random.PRNGKey(4), rays, envrays, **self._kw())
+        b = etw(p, jax.random.PRNGKey(4), rays, envrays, **self._kw())
+        f = b[-1]
+        assert np.isfinite(np.asarray(f.surf_rgb)).all()
+        assert not np.allclose(np.asarray(f.surf_rgb),
+                               np.asarray(a[-1].surf_rgb))
+        # Volumetric (primary) products untouched by the knob.
+        np.testing.assert_array_equal(np.asarray(f.rgb),
+                                      np.asarray(a[-1].rgb))
+
+    def test_gradients_flow_and_finite(self, pano, envrays):
+        import dataclasses
+        m, p = pano
+        mw = dataclasses.replace(m, env_tight_rgb=0.01,
+                                 env_tight_weights=True)
+        rays = make_rays(4, key=9)
+
+        def loss(p):
+            out = mw(p, jax.random.PRNGKey(2), rays, envrays,
+                     **self._kw())
+            return jnp.mean(out[-1].surf_rgb ** 2)
+
+        g = jax.grad(loss)(p)
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+        assert sum(float(jnp.sum(jnp.abs(x))) for x in leaves) > 0.0
+
+    def test_invalid_combinations(self):
+        with pytest.raises(ValueError, match="env_tight_rgb"):
+            PanoMipNeRF(env_tight_weights=True)
+        with pytest.raises(ValueError, match="chroma"):
+            PanoMipNeRF(env_tight_rgb=0.01, env_tight_weights=True,
+                        env_tight_chroma=True)
+        with pytest.raises(ValueError, match="chroma"):
+            PanoMipNeRF(env_tight_rgb=0.01, env_tight_weights=True,
+                        env_tight_chroma=True, env_tight_topk=2)
+        with pytest.raises(ValueError, match="env_resample"):
+            PanoMipNeRF(env_tight_rgb=0.01, env_tight_weights=True,
+                        env_resample=True)
+
+    def test_keyless_config_stays_off(self):
+        hp = dict(_minimal_nerf_hparams())
+        hp.pop("nerf.env_tight_weights", None)
+        m = PanoMipNeRF.from_hparams(hp)
+        assert m.env_tight_weights is False
+
+
 class TestEnvTightChroma:
     """Hybrid secondary read (BaseNeRF.env_tight_chroma): intensity from
     the blurred march, channel structure from the tight re-read. Because
