@@ -80,27 +80,56 @@ def _floor_points(spec, n: int, seed: int):
             np.asarray(lit[:want], np.float32))
 
 
+def _march(model, params, m, c, vd, t):
+    """Composite one flattened batch of secondary rays; returns
+    (composite [R,3], weights [R,S])."""
+    raw_rgb, raw_den = model._raw_outputs(params, m, c, vd)[:2]
+    rgb, den = model._activate_rgb_density(
+        raw_rgb, raw_den, jax.random.PRNGKey(1), False)
+    vr = mip.volumetric_rendering(rgb, den, t, vd, False)
+    return vr[0], vr[3]
+
+
 def _pred_irradiance(model, params, env_rays, pts: np.ndarray,
                      return_comp: bool = False):
-    """The model's irradiance estimate at `pts` (up normals), via the
-    eval-mode query: fixed env directions, blurred-scale march,
-    sum_d comp_d cos_d^+ domega_d. The tight-chroma re-read (etc) only
-    swaps channel structure — shadows are an intensity phenomenon, so
-    the blurred read is the carrier either way."""
+    """The model's irradiance estimate at `pts` (up normals), mirroring
+    what training CONSUMES for the checkpoint's knobs: the blurred-scale
+    march by default; the tight-scale composite for env_tight_weights;
+    the blurred-weights x tight-rgb read for a raw env_tight_rgb carrier
+    (etr). The chroma-only combine (etc) keeps the blurred LUMA, and
+    shadows are a luma phenomenon, so the blurred read is reported for
+    it (the chroma swap cannot change the contrast)."""
     dirs = jnp.asarray(env_rays.directions)                  # [D, 3]
     N, D = pts.shape[0], dirs.shape[0]
     S = model.num_env_samples
     t_e, (m_e, c_e), vd = mip.sample_env_rays(
         jax.random.PRNGKey(0), jnp.asarray(pts), dirs, S,
         env_rays.near, env_rays.far, env_rays.radii, False)
-    raw_rgb, raw_den = model._raw_outputs(
-        params, m_e.reshape(N * D, S, 3), c_e.reshape(N * D, S, 3),
-        vd.reshape(N * D, 3))[:2]
-    rgb, den = model._activate_rgb_density(
-        raw_rgb, raw_den, jax.random.PRNGKey(1), False)
-    comp = mip.volumetric_rendering(
-        rgb, den, t_e.reshape(N * D, S + 1), vd.reshape(N * D, 3),
-        False)[0]
+    m_f = m_e.reshape(N * D, S, 3)
+    c_f = c_e.reshape(N * D, S, 3)
+    vd_f = vd.reshape(N * D, 3)
+    t_f = t_e.reshape(N * D, S + 1)
+    scale = getattr(model, "env_tight_rgb", 0.0)
+    if getattr(model, "env_tight_weights", False):
+        comp, _ = _march(model, params, m_f, c_f * scale, vd_f, t_f)
+    elif getattr(model, "env_resample", False):
+        comp_b, w_b = _march(model, params, m_f, c_f, vd_f, t_f)
+        t2, (m2, c2) = model._resample_env(
+            jax.random.PRNGKey(0), jnp.asarray(pts), vd,
+            env_rays.radii, t_e, np.asarray(w_b).reshape(N, D, S), False)
+        Sf = m2.shape[-2]
+        comp, _ = _march(model, params, m2.reshape(N * D, Sf, 3),
+                         c2.reshape(N * D, Sf, 3), vd_f,
+                         t2.reshape(N * D, Sf + 1))
+    elif scale > 0 and not getattr(model, "env_tight_chroma", False):
+        _, w_b = _march(model, params, m_f, c_f, vd_f, t_f)
+        raw_rgb_t, raw_den_t = model._raw_outputs(
+            params, m_f, c_f * scale, vd_f)[:2]
+        rgb_t, _ = model._activate_rgb_density(
+            raw_rgb_t, raw_den_t, jax.random.PRNGKey(1), False)
+        comp = jnp.sum(w_b[..., None] * rgb_t, axis=-2)
+    else:
+        comp, _ = _march(model, params, m_f, c_f, vd_f, t_f)
     comp = np.asarray(comp).reshape(N, D, 3)
     cos = np.maximum(np.asarray(dirs)[None, :, 1], 0.0)      # up normal
     domega = np.asarray(env_rays.lossmult).reshape(1, D)

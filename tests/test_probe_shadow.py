@@ -64,3 +64,28 @@ class TestPredIrradiance:
         assert irr.shape == (2, 3)
         assert np.isfinite(irr).all()
         assert (irr >= 0.0).all()
+
+    def test_knob_aware_reads(self):
+        """The probe must measure what each knob's training consumes:
+        etw at cov x1.0 reproduces the plain read exactly; etw/etr at
+        0.01 diverge from it (and run finitely)."""
+        import dataclasses
+        base = PanoMipNeRF(num_samples=8, num_env_samples=4,
+                           compute_dtype=jnp.float32)
+        env = _env_rays(d=6)
+        params = base.init(jax.random.PRNGKey(0))
+        pts = np.array([[0.0, -1.4, 0.0], [1.0, -1.4, -1.0]], np.float32)
+        plain = _pred_irradiance(base, params, env, pts)
+        etw1 = dataclasses.replace(base, env_tight_rgb=1.0,
+                                   env_tight_weights=True)
+        np.testing.assert_allclose(
+            _pred_irradiance(etw1, params, env, pts), plain,
+            rtol=1e-5, atol=1e-6)
+        for m in (dataclasses.replace(base, env_tight_rgb=0.01,
+                                      env_tight_weights=True),
+                  dataclasses.replace(base, env_tight_rgb=0.01),
+                  dataclasses.replace(base, env_resample=True,
+                                      num_env_fine_samples=3)):
+            irr = _pred_irradiance(m, params, env, pts)
+            assert np.isfinite(irr).all()
+            assert not np.allclose(irr, plain)
