@@ -189,6 +189,17 @@ VARIANTS = {
     # the occlusion study (shadow scene) probes whether a finer env march
     # can resolve a thin occluder the S=5 spacing steps over.
     "e10": {"nerf.num_env_samples": 10},
+    # Hotter LR start (time-to-quality lever, queue-17 probes: 25 dB in
+    # 2000 / 1000 steps vs 5000 at the shipped 2e-4). The 44k gates ask
+    # whether the HDR dynamics (vc tie, saturation guard, irradiance
+    # coupling) survive the hotter schedule at unchanged endpoint
+    # quality — the precondition for a default change.
+    "lr4": {"optimizer.lr_init": 4e-4},
+    "lr1e3": {"optimizer.lr_init": 1e-3},
+    "etc_chromic_lr4": {"nerf.env_tight_rgb": 0.01,
+                        "nerf.env_tight_chroma": True,
+                        "loss.chrom_illum_comp": True,
+                        "optimizer.lr_init": 4e-4},
     # Occlusion fix (nerf.env_tight_weights): composite the secondary
     # march entirely at the tight scale — radiance AND transmittance from
     # the tight re-read at blurred-placed samples. The blurred composite
