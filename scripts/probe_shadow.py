@@ -179,6 +179,44 @@ def _per_direction_report(model, params, env_rays, spec, pts: np.ndarray):
     return rows
 
 
+def _albedo_report(model, params, spec, p_sh: np.ndarray,
+                   p_lit: np.ndarray) -> dict:
+    """Shadow-baking measurement: expected surface albedo at the floor
+    points via a downward primary-style march. GT albedo is
+    shadow-FREE (irradiance and albedo are independent in the
+    generator), so pred lit/shadow albedo ratio >> 1 means the
+    decomposition explains the shadow with dark albedo instead of low
+    irradiance — the exact failure a fog irradiance forces."""
+    out = {}
+    for tag, pts in (("shadow", p_sh), ("lit", p_lit)):
+        N = pts.shape[0]
+        origins = jnp.asarray(pts) + jnp.asarray([0.0, 0.8, 0.0])
+        dirs = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]]), (N, 1))
+        t, (m, c) = mip.sample_along_rays(
+            jax.random.PRNGKey(0), origins, dirs,
+            jnp.full((N, 1), 0.01), model.num_samples,
+            jnp.full((N, 1), 0.05), jnp.full((N, 1), 1.2), False, False)
+        raw_rgb, raw_den = model._raw_outputs(params, m, c, dirs)[:2]
+        _, alb, _ = model._split_heads(raw_den)
+        rgb, den = model._activate_rgb_density(
+            raw_rgb, raw_den[..., :1], jax.random.PRNGKey(1), False)
+        w = mip.volumetric_rendering(rgb, den, t, dirs, False)[3]
+        w = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-6)
+        pred = np.asarray(jnp.sum(w[..., None] * alb, axis=-2))
+        gt = synthetic._albedo_at(pts.astype(np.float64),
+                                  np.full(N, 2, dtype=np.int64),
+                                  spec.albedo_mode)
+        out[tag] = {"pred": float(pred.mean()), "gt": float(gt.mean())}
+    return {
+        "albedo_lit_over_shadow_pred": round(
+            out["lit"]["pred"] / max(out["shadow"]["pred"], 1e-6), 3),
+        "albedo_lit_over_shadow_gt": round(
+            out["lit"]["gt"] / max(out["shadow"]["gt"], 1e-6), 3),
+        "albedo_pred_shadow": round(out["shadow"]["pred"], 4),
+        "albedo_pred_lit": round(out["lit"]["pred"], 4),
+    }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data_path", required=True)
@@ -228,6 +266,8 @@ def main():
     for row in _per_direction_report(tr.system.model, state.params,
                                      tr.system.env_rays, spec, p_sh):
         print(json.dumps(row), flush=True)
+    print(json.dumps(_albedo_report(tr.system.model, state.params, spec,
+                                    p_sh, p_lit)), flush=True)
     summary = {
         "gt_contrast": round(rows["lit"]["gt_luma"]
                              / max(rows["shadow"]["gt_luma"], 1e-6), 3),
