@@ -81,6 +81,16 @@ class TestBaseInheritance:
             if k not in skip:
                 assert got[k] == v, k
 
+    def test_shipped_fast_preset_resolves(self):
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        got = cfg.load(os.path.join(repo, "configs", "panonerf_fast.yaml"))
+        base = cfg.load(os.path.join(repo, "configs", "panonerf.yaml"))
+        # Hotter start only (queue-17/19 study); same decay shape.
+        assert got["optimizer.lr_init"] == 4e-4
+        for k, v in base.items():
+            if k != "optimizer.lr_init":
+                assert got[k] == v, k
+
 
 class TestMerging:
     def test_file_then_opts_precedence(self, tmp_yaml):
