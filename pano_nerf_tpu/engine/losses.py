@@ -367,6 +367,24 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
             parts["scale_distill_dist"] = sd_dist
         loss = loss + w_sd * sd
         parts["scale_distill"] = sd
+    # Stochastic per-direction distillation of the secondary read
+    # (BaseNeRF.env_distill_samples; round-3 occlusion study): the
+    # irradiance loss constrains only the cosine-weighted SUM over the D
+    # env directions, so the per-direction secondary read is free to be
+    # a fog (measured: ~0.65 luma every direction vs GT 0.17 wall / 8.2
+    # emitter — the mechanism behind both the albedo shadow-baking and
+    # the emitter under-read). This ties the read along ONE random
+    # direction per point to a finer re-march of the same ray
+    # (stop-grad; the scale the primary views supervise). log1p keeps
+    # O(1) gradients above the knee. Unlike scale_distill the target is
+    # a SECONDARY ray — the exact quantity the integral consumes.
+    w_ed = float(hparams.get("loss.env_distill", 0.0))
+    if w_ed > 0 and fine.env_read is not None:
+        ed = masked_mse(
+            jnp.log1p(jax.nn.relu(fine.env_read)),
+            jnp.log1p(jax.nn.relu(fine.env_fine)), mask)
+        loss = loss + w_ed * ed
+        parts["env_distill"] = ed
     # Emission sparsity (emissive-head decomposition, BaseNeRF.
     # emissive_head): L1 on the composited self-emission — emission is
     # non-negative by construction, so this is a masked mean — keeping it

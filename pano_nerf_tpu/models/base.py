@@ -58,6 +58,11 @@ class LevelOutput(NamedTuple):
     #   self-distillation targets (engine/losses.py scale_distill term) —
     #   anchors the blurred-scale field the irradiance queries read to the
     #   primary-supervised fine-scale field (round-3 env-scale probe).
+    env_read: Optional[Array] = None   # [B, 3] secondary read along ONE
+    env_fine: Optional[Array] = None   # [B, 3] random direction + its
+    #   fine-march target (stop-grad): stochastic per-direction
+    #   distillation of the secondary scale (loss.env_distill — round-3
+    #   occlusion study, BaseNeRF.env_distill_samples).
 
 
 @dataclasses.dataclass(frozen=True)
@@ -157,6 +162,16 @@ class BaseNeRF:
     # paid for; subsumes the chroma combine (the tight composite carries
     # tight chroma by construction), so env_tight_chroma must stay off.
     env_tight_weights: bool = False
+    # Stochastic per-direction distillation of the secondary scale
+    # (round-3 occlusion study): every training step, ONE random env
+    # direction per surface point is re-marched with this many finer
+    # Gaussians and the secondary read along it is tied to that
+    # stop-grad composite (loss.env_distill, log1p space). Attacks the
+    # measured per-direction FOG directly — the irradiance loss only
+    # constrains the D-direction sum, so per-direction structure
+    # (occluder darkness, emitter brightness) is otherwise
+    # unconstrained. 0 disables (bitwise parity).
+    env_distill_samples: int = 0
     # Cost reduction for the tight re-read (requires env_tight_chroma):
     # evaluate the tight-scale radiance ONLY at the argmax-weight sample
     # of the blurred march (the dominant surface hit) instead of at all
@@ -433,6 +448,8 @@ class BaseNeRF:
             env_tight_topk=int(hparams.get("nerf.env_tight_topk", 0)),
             env_tight_weights=bool(
                 hparams.get("nerf.env_tight_weights", False)),
+            env_distill_samples=int(
+                hparams.get("nerf.env_distill_samples", 0)),
             num_coarse_samples=int(
                 hparams.get("nerf.num_coarse_samples", 0)),
             compute_dtype=dtype,

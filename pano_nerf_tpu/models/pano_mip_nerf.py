@@ -651,6 +651,45 @@ class PanoMipNeRF(BaseNeRF):
                             e_rgb2, e_den2, lit_t, lit_dirs,
                             white_bkgd=False)[0]
 
+                if self.env_distill_samples > 0 and randomized:
+                    # Stochastic per-direction distillation (round-3
+                    # occlusion study): the irradiance loss constrains only
+                    # the cosine-weighted SUM over D directions, so the
+                    # secondary read is free to be a per-direction FOG
+                    # (measured: ~0.65 luma along every direction vs GT
+                    # 0.17 wall / 8.2 emitter — probe_shadow.py). Pick ONE
+                    # random direction per surface point, re-march it with
+                    # env_distill_samples finer Gaussians (the scale the
+                    # primary views supervise), and expose (read, target)
+                    # for a log1p-space tie (loss.env_distill). Unlike
+                    # scale_distill (primary rays, knee-bounded target,
+                    # measured negative) the target here is exactly the
+                    # quantity the integral SHOULD consume. Cost: one
+                    # S_fine-row march per point (~1/D of the env
+                    # subgraph). Training-only (randomized gates it).
+                    k_ed = jax.random.fold_in(key, 0xED)
+                    k_sel, k_mar = jax.random.split(k_ed)
+                    B, D = lit_dirs.shape[:2]
+                    idx = jax.random.randint(k_sel, (B, 1), 0, D)
+                    dir_sel = jnp.take_along_axis(
+                        lit_dirs, idx[..., None], axis=1)       # [B, 1, 3]
+                    read_sel = jnp.take_along_axis(
+                        env_rgb, idx[..., None], axis=1)[:, 0]  # [B, 3]
+                    one = jnp.ones((1, 1), dtype=surf_origins.dtype)
+                    ed_t, (ed_m, ed_c), ed_d = (
+                        mip.sample_env_rays_hemisphere(
+                            k_mar, surf_origins, dir_sel,
+                            self.env_distill_samples,
+                            one * env_rays.near[0, 0],
+                            one * env_rays.far[0, 0],
+                            one * env_rays.radii[0, 0], randomized))
+                    ed_graph = make_graph(ed_c, ed_d, None, fused=True)
+                    ed_rgb, ed_den, _, _ = ed_graph(ed_m)
+                    ed_comp = mip.volumetric_rendering(
+                        ed_rgb, ed_den, ed_t, ed_d, white_bkgd=False)[0]
+                    out["env_read"] = read_sel
+                    out["env_fine"] = jax.lax.stop_gradient(ed_comp[:, 0])
+
                 surf_rgb, diffuse, _, shade = shading.surface_rendering(
                     env_rgb, albedo, normal, None, lit_dirs, rays.viewdirs,
                     solid_angle)

@@ -189,6 +189,24 @@ VARIANTS = {
     # the occlusion study (shadow scene) probes whether a finer env march
     # can resolve a thin occluder the S=5 spacing steps over.
     "e10": {"nerf.num_env_samples": 10},
+    # Stochastic per-direction distillation (loss.env_distill +
+    # nerf.env_distill_samples): tie the secondary read along ONE random
+    # direction per point to a finer re-march of the same ray. The
+    # occlusion-study fog attack — the first variant that supervises the
+    # blurred scale PER DIRECTION (the 6 prior attacks all left the
+    # per-direction read unconstrained or moved it to an under-sampled
+    # scale). Weight ladder: the tie competes with the irradiance loss's
+    # preference for fog.
+    "ed01": {"nerf.env_distill_samples": 16, "loss.env_distill": 0.1},
+    "ed03": {"nerf.env_distill_samples": 16, "loss.env_distill": 0.3},
+    "ed1": {"nerf.env_distill_samples": 16, "loss.env_distill": 1.0},
+    # Composition with the hdr preset (the distill shapes the blurred
+    # luma the etc combine carries).
+    "etc_chromic_ed03": {"nerf.env_tight_rgb": 0.01,
+                         "nerf.env_tight_chroma": True,
+                         "loss.chrom_illum_comp": True,
+                         "nerf.env_distill_samples": 16,
+                         "loss.env_distill": 0.3},
     # Hotter LR start (time-to-quality lever, queue-17 probes: 25 dB in
     # 2000 / 1000 steps vs 5000 at the shipped 2e-4). The 44k gates ask
     # whether the HDR dynamics (vc tie, saturation guard, irradiance

@@ -394,6 +394,34 @@ class TestSaturationMargin:
         assert float(p3["sat"]) == 0.0
 
 
+class TestEnvDistillLoss:
+    def test_wired_and_keyless_off(self):
+        """loss.env_distill ties env_read to env_fine in log1p space;
+        absent the key (or the model outputs) the loss is untouched."""
+        B = 4
+        gt = jnp.ones((B, 3))
+        outs = [level(jnp.ones((B, 3))),
+                level(jnp.ones((B, 3)),
+                      env_read=jnp.ones((B, 3)) * 2.0,
+                      env_fine=jnp.ones((B, 3)) * 5.0)]
+        mask = jnp.ones((B, 1))
+        p_off = pano_losses(outs, gt, mask, HP_PROD, enable_surf=False)
+        assert "env_distill" not in p_off
+        hp_on = dict(HP_PROD, **{"loss.env_distill": 0.3})
+        p_on = pano_losses(outs, gt, mask, hp_on, enable_surf=False)
+        # masked_mse normalizes by the mask sum, so the 3 channels SUM.
+        want = 3.0 * float((jnp.log1p(2.0) - jnp.log1p(5.0)) ** 2)
+        assert abs(float(p_on["env_distill"]) - want) < 1e-6
+        assert abs(float(p_on["loss"]) - float(p_off["loss"])
+                   - 0.3 * want) < 1e-6
+        # Weight set but the model didn't produce the pair (eval path,
+        # or env_distill_samples 0): no term, no crash.
+        outs_none = [level(jnp.ones((B, 3))), level(jnp.ones((B, 3)))]
+        p_none = pano_losses(outs_none, gt, mask, hp_on,
+                             enable_surf=False)
+        assert "env_distill" not in p_none
+
+
 class TestVcLuma:
     def test_luma_tie_is_chroma_free(self):
         """loss.vc_luma ties only Rec.709 luma: two alt composites with

@@ -753,6 +753,61 @@ class TestEnvTightWeights:
         assert m.env_tight_weights is False
 
 
+class TestEnvDistill:
+    """Stochastic per-direction distillation (BaseNeRF.
+    env_distill_samples): one random env direction per surface point is
+    re-marched finer and exposed as (env_read, env_fine) for the
+    loss.env_distill tie."""
+
+    def _kw(self, randomized=True):
+        return dict(randomized=randomized, white_bkgd=False,
+                    enable_surf=True, use_ort_loss=False)
+
+    def test_outputs_present_and_consistent(self, pano, envrays):
+        import dataclasses
+        m, p = pano
+        md = dataclasses.replace(m, env_distill_samples=8)
+        rays = make_rays(5, key=13)
+        out = md(p, jax.random.PRNGKey(4), rays, envrays, **self._kw())
+        f = out[-1]
+        assert f.env_read is not None and f.env_fine is not None
+        assert f.env_read.shape == (5, 3) and f.env_fine.shape == (5, 3)
+        assert np.isfinite(np.asarray(f.env_read)).all()
+        assert np.isfinite(np.asarray(f.env_fine)).all()
+        # The selected read must be one of the D per-direction composites
+        # of the same forward (same key => same march).
+        base = m(p, jax.random.PRNGKey(4), rays, envrays, **self._kw())
+        np.testing.assert_array_equal(np.asarray(f.rgb),
+                                      np.asarray(base[-1].rgb))
+        # Eval path (randomized=False) skips the distill march entirely.
+        out_ev = md(p, jax.random.PRNGKey(4), rays, envrays,
+                    **self._kw(randomized=False))
+        assert out_ev[-1].env_read is None
+
+    def test_target_is_stop_grad_and_loss_flows(self, pano, envrays):
+        import dataclasses
+        m, p = pano
+        md = dataclasses.replace(m, env_distill_samples=8)
+        rays = make_rays(4, key=9)
+
+        def loss(p):
+            out = md(p, jax.random.PRNGKey(2), rays, envrays, **self._kw())
+            f = out[-1]
+            return jnp.mean((jnp.log1p(jax.nn.relu(f.env_read))
+                             - jnp.log1p(jax.nn.relu(f.env_fine))) ** 2)
+
+        g = jax.grad(loss)(p)
+        leaves = jax.tree.leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+        assert sum(float(jnp.sum(jnp.abs(x))) for x in leaves) > 0.0
+
+    def test_keyless_config_stays_off(self):
+        hp = dict(_minimal_nerf_hparams())
+        hp.pop("nerf.env_distill_samples", None)
+        m = PanoMipNeRF.from_hparams(hp)
+        assert m.env_distill_samples == 0
+
+
 class TestEnvTightChroma:
     """Hybrid secondary read (BaseNeRF.env_tight_chroma): intensity from
     the blurred march, channel structure from the tight re-read. Because
