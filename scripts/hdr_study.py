@@ -197,6 +197,7 @@ VARIANTS = {
     # per-direction read unconstrained or moved it to an under-sampled
     # scale). Weight ladder: the tie competes with the irradiance loss's
     # preference for fog.
+    "ed003": {"nerf.env_distill_samples": 16, "loss.env_distill": 0.03},
     "ed01": {"nerf.env_distill_samples": 16, "loss.env_distill": 0.1},
     "ed03": {"nerf.env_distill_samples": 16, "loss.env_distill": 0.3},
     "ed1": {"nerf.env_distill_samples": 16, "loss.env_distill": 1.0},
