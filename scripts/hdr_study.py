@@ -208,6 +208,13 @@ VARIANTS = {
                          "loss.chrom_illum_comp": True,
                          "nerf.env_distill_samples": 16,
                          "loss.env_distill": 0.3},
+    # Re-pointed at the ladder's working weight (0.3 diverged on shadow;
+    # 0.1 is contrast 1.92 at LDR parity — NOTES.md env_distill study).
+    "etc_chromic_ed01": {"nerf.env_tight_rgb": 0.01,
+                         "nerf.env_tight_chroma": True,
+                         "loss.chrom_illum_comp": True,
+                         "nerf.env_distill_samples": 16,
+                         "loss.env_distill": 0.1},
     # Hotter LR start (time-to-quality lever, queue-17 probes: 25 dB in
     # 2000 / 1000 steps vs 5000 at the shipped 2e-4). The 44k gates ask
     # whether the HDR dynamics (vc tie, saturation guard, irradiance
