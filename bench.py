@@ -68,9 +68,27 @@ def _arm_wedge_watchdog():
     deadline_s = float(os.environ.get("PANO_NERF_BENCH_WEDGE_S", "600"))
     attempt = int(os.environ.get("PANO_NERF_BENCH_WEDGE", "0"))
     if attempt >= 3 or deadline_s <= 0:
-        return lambda: None
+        return lambda: None, lambda: None
+
+    # A wedged client makes NO progress at all; a merely-slow one (long
+    # backend init / compile on this 1-core host) still crosses the
+    # milestones below. The timer only fires when no milestone has been
+    # reached for a full deadline window; otherwise it re-arms, so slow
+    # compiles never burn re-exec attempts (round-3 advisor finding).
+    state = {"beats": 0, "seen": 0, "stop": False}
+
+    def heartbeat():
+        state["beats"] += 1
 
     def fire():
+        if state["stop"]:
+            return
+        if state["beats"] != state["seen"]:
+            state["seen"] = state["beats"]
+            rearm = threading.Timer(deadline_s, fire)
+            rearm.daemon = True
+            rearm.start()
+            return
         print(f"[bench] no progress within {deadline_s:.0f}s — tunnel "
               f"launch wedge (attempt {attempt + 1}/3); re-executing",
               file=sys.stderr, flush=True)
@@ -80,12 +98,20 @@ def _arm_wedge_watchdog():
     timer = threading.Timer(deadline_s, fire)
     timer.daemon = True
     timer.start()
-    return timer.cancel
+
+    def disarm():
+        state["stop"] = True
+        timer.cancel()
+
+    return disarm, heartbeat
 
 
 def main():
-    disarm_watchdog = _arm_wedge_watchdog()
+    disarm_watchdog, heartbeat = _arm_wedge_watchdog()
     import jax
+
+    jax.devices()          # force backend init: the wedge parks HERE
+    heartbeat()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _make_rays, _tiny_hparams
@@ -135,9 +161,11 @@ def main():
                                                  batch_size=BATCH,
                                                  steps_per_call=SCAN)
     key = jax.random.PRNGKey(1)
+    heartbeat()            # data resident on device: backend is alive
 
     for _ in range(WARMUP):
         state, parts = step_fn(state, key)
+        heartbeat()        # each warmup call compiles/executes: progress
     jax.block_until_ready(state.params)
     # Past backend init + compile + first steps: the launch wedge cannot
     # happen anymore — stand down before the timed section.

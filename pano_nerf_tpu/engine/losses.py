@@ -143,12 +143,17 @@ def saturation_loss(pred_hdr: Array, ldr_gt: Array, mask: Array,
 
 
 def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
-                enable_surf: bool) -> Dict[str, Optional[Array]]:
+                enable_surf: bool, step: Optional[Array] = None
+                ) -> Dict[str, Optional[Array]]:
     """Full Pano-NeRF training loss.
 
     Args:
       outputs: [coarse LevelOutput, fine LevelOutput] from PanoMipNeRF.
       rgbs_gt: [B, 3] HDR ground truth; mask: [B, 1] lossmult.
+      step: optional traced scalar (TrainState.step) — enables the
+        step-scheduled loss weights (currently loss.env_distill_start /
+        _ramp); None keeps every weight constant, which is exact parity
+        for all shipped defaults (no scheduled weight is on by default).
     Returns dict with 'loss' plus each component for logging.
     """
     coarse, fine = outputs[0], outputs[-1]
@@ -383,7 +388,25 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
         ed = masked_mse(
             jnp.log1p(jax.nn.relu(fine.env_read)),
             jnp.log1p(jax.nn.relu(fine.env_fine)), mask)
-        loss = loss + w_ed * ed
+        # Step schedule (round-4 occlusion-affordability study): the flat
+        # w=0.1 tie buys shadow contrast 1.10 -> 1.92 but costs HDR
+        # endpoint and normal-MAE — the hypothesis is that its gradient
+        # pressure lands hardest EARLY, while geometry is still settling
+        # (the same reasoning as train.surface_start_step). `start` delays
+        # the tie until that fraction of max_steps; `ramp` then raises the
+        # weight linearly 0 -> w over a further fraction, avoiding a
+        # weight discontinuity mid-run. Both 0 (default) = the flat
+        # round-3 behavior, bitwise (no dependence on `step` is traced).
+        ed_start = float(hparams.get("loss.env_distill_start", 0.0))
+        ed_ramp = float(hparams.get("loss.env_distill_ramp", 0.0))
+        if (ed_start > 0 or ed_ramp > 0) and step is not None:
+            max_steps = float(hparams["optimizer.max_steps"])
+            s0 = ed_start * max_steps
+            r = jnp.maximum(ed_ramp * max_steps, 1.0)
+            sched = jnp.clip((step.astype(jnp.float32) - s0) / r, 0.0, 1.0)
+            loss = loss + (w_ed * sched) * ed
+        else:
+            loss = loss + w_ed * ed
         parts["env_distill"] = ed
     # Emission sparsity (emissive-head decomposition, BaseNeRF.
     # emissive_head): L1 on the composited self-emission — emission is

@@ -224,7 +224,7 @@ class PanoNeRFSystem(BaseSystem):
                     use_ort_loss=use_ort, use_vc_loss=use_vc,
                     use_scale_distill=use_sd)
                 parts = losses_lib.pano_losses(outs, rgbs[..., :3], mask, hp,
-                                               enable_surf)
+                                               enable_surf, step=state.step)
                 return parts["loss"], parts
 
             (_, parts), grads = jax.value_and_grad(
@@ -284,7 +284,7 @@ class PanoNeRFSystem(BaseSystem):
                     use_ort_loss=use_ort, use_vc_loss=use_vc,
                     use_scale_distill=use_sd)
                 parts = losses_lib.pano_losses(outs, rgbs[..., :3], mask, hp,
-                                               enable_surf)
+                                               enable_surf, step=state.step)
                 return parts["loss"], parts
 
             (_, parts), grads = jax.value_and_grad(

@@ -215,6 +215,37 @@ VARIANTS = {
                          "loss.chrom_illum_comp": True,
                          "nerf.env_distill_samples": 16,
                          "loss.env_distill": 0.1},
+    # Round-4 env_distill schedules (occlusion-affordability study,
+    # VERDICT r3 #4): the flat w=0.1 tie buys shadow contrast 1.10 ->
+    # 1.92 and removes the albedo shadow-baking at LDR parity, but costs
+    # HDR endpoint (-1.6 vs -1.1) and normal ws-MAE (41 vs 23). The
+    # hypothesis: the damage is EARLY gradient pressure on a still-
+    # settling field; the recovery series (-3.5 -> -1.6 over the last
+    # 12k) suggests the late-run tie is benign. Delay/ramp the weight.
+    "ed01_s45": {"nerf.env_distill_samples": 16, "loss.env_distill": 0.1,
+                 "loss.env_distill_start": 0.45},
+    "ed01_s45r2": {"nerf.env_distill_samples": 16, "loss.env_distill": 0.1,
+                   "loss.env_distill_start": 0.45,
+                   "loss.env_distill_ramp": 0.2},
+    "ed01_s25r25": {"nerf.env_distill_samples": 16,
+                    "loss.env_distill": 0.1,
+                    "loss.env_distill_start": 0.25,
+                    "loss.env_distill_ramp": 0.25},
+    # Higher late weight: 0.3 from step 0 DIVERGED (LDR 16.2); with the
+    # field settled it may instead buy the contrast 1.92 -> >=3 the
+    # round-3 ladder could not reach.
+    "ed03_s45r2": {"nerf.env_distill_samples": 16, "loss.env_distill": 0.3,
+                   "loss.env_distill_start": 0.45,
+                   "loss.env_distill_ramp": 0.2},
+    # Pairing (VERDICT r3 #4 option 3): distill the TIGHT-weight read —
+    # env_rgb under etw IS the tight composite, so the tie and the
+    # consumed read ride the same primary-supervised scale.
+    "etw_ed01_s45r2": {"nerf.env_tight_rgb": 0.01,
+                       "nerf.env_tight_weights": True,
+                       "nerf.env_distill_samples": 16,
+                       "loss.env_distill": 0.1,
+                       "loss.env_distill_start": 0.45,
+                       "loss.env_distill_ramp": 0.2},
     # Hotter LR start (time-to-quality lever, queue-17 probes: 25 dB in
     # 2000 / 1000 steps vs 5000 at the shipped 2e-4). The 44k gates ask
     # whether the HDR dynamics (vc tie, saturation guard, irradiance

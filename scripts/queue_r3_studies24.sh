@@ -8,6 +8,7 @@ set -u
 cd /root/repo
 ROOT_OUT=${ROOT_OUT:-/root/repo/studies_r3}
 LOG="$ROOT_OUT/queue.log"
+mkdir -p "$ROOT_OUT"
 if [ -n "${WAIT_PID:-}" ]; then
   while [ -d "/proc/$WAIT_PID" ]; do sleep 30; done
 fi

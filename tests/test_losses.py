@@ -421,6 +421,48 @@ class TestEnvDistillLoss:
                              enable_surf=False)
         assert "env_distill" not in p_none
 
+    def test_step_schedule(self):
+        """loss.env_distill_start/_ramp gate the tie's weight on the
+        traced step: zero before start, linear over the ramp, the flat
+        round-3 weight after — and with both at 0 (the defaults) the
+        schedule keys change nothing even when `step` is passed."""
+        B = 4
+        gt = jnp.ones((B, 3))
+        outs = [level(jnp.ones((B, 3))),
+                level(jnp.ones((B, 3)),
+                      env_read=jnp.ones((B, 3)) * 2.0,
+                      env_fine=jnp.ones((B, 3)) * 5.0)]
+        mask = jnp.ones((B, 1))
+        base = pano_losses(outs, gt, mask, HP_PROD, enable_surf=False)
+        hp = dict(HP_PROD, **{"loss.env_distill": 0.1,
+                              "loss.env_distill_start": 0.5,
+                              "loss.env_distill_ramp": 0.25,
+                              "optimizer.max_steps": 1000})
+        want = 3.0 * float((jnp.log1p(2.0) - jnp.log1p(5.0)) ** 2)
+
+        def contrib(step):
+            p = pano_losses(outs, gt, mask, hp, enable_surf=False,
+                            step=jnp.asarray(step))
+            return float(p["loss"]) - float(base["loss"])
+
+        assert abs(contrib(0)) < 1e-7                       # before start
+        assert abs(contrib(500)) < 1e-7                     # at start
+        assert abs(contrib(625) - 0.05 * want) < 1e-6       # mid-ramp
+        assert abs(contrib(750) - 0.1 * want) < 1e-6        # ramp done
+        assert abs(contrib(999) - 0.1 * want) < 1e-6        # holds
+        # step jump (ramp 0): full weight immediately past start.
+        hp_j = dict(hp, **{"loss.env_distill_ramp": 0.0})
+        p_j = pano_losses(outs, gt, mask, hp_j, enable_surf=False,
+                          step=jnp.asarray(501))
+        assert abs(float(p_j["loss"]) - float(base["loss"])
+                   - 0.1 * want) < 1e-6
+        # Defaults (start 0, ramp 0) + step passed == flat tie exactly.
+        hp_flat = dict(HP_PROD, **{"loss.env_distill": 0.1})
+        p_flat = pano_losses(outs, gt, mask, hp_flat, enable_surf=False)
+        p_flat_step = pano_losses(outs, gt, mask, hp_flat,
+                                  enable_surf=False, step=jnp.asarray(7))
+        assert float(p_flat["loss"]) == float(p_flat_step["loss"])
+
 
 class TestVcLuma:
     def test_luma_tie_is_chroma_free(self):
