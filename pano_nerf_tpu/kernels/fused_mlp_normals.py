@@ -130,7 +130,7 @@ def _fwd_kernel(mc_ref, v_ref, *refs, L: int, min_deg: int, F: int,
 
 
 def _bwd_kernel(mc_ref, v_ref, *refs, L: int, min_deg: int, F: int,
-                num_rows: int, block_m: int):
+                num_rows: int, block_m: int, fuse_wgrad: bool = False):
     g_ref = refs[_N_W + _N_B]
     q_ref = refs[_N_W + _N_B + 1]
     acts_ref = refs[_N_W + _N_B + 2]
@@ -197,18 +197,22 @@ def _bwd_kernel(mc_ref, v_ref, *refs, L: int, min_deg: int, F: int,
     dh = _dot_nt(dbtl, ws["wb"]) + _dot_nt(g_density, ws["wd"])
 
     dx = jnp.zeros((mc.shape[0], F), F32)
+    dz_saved = [None] * 8
     for i in range(7, -1, -1):
         h_i = acts[i]
         h_prev = acts[i - 1] if i > 0 else x
         dz = (dh * masks[i]).astype(BF16)
+        dz_saved[i] = dz
         if i == 5:
-            gw["w5a"][:] += _dot_t_accum(h_prev, dz)
-            gw["w5b"][:] += _dot_t_accum(x, dz)
+            if not fuse_wgrad:
+                gw["w5a"][:] += _dot_t_accum(h_prev, dz)
+                gw["w5b"][:] += _dot_t_accum(x, dz)
             gw["b5"][:] += jnp.sum(dz.astype(F32), axis=0, keepdims=True)
             dh = _dot_nt(dz, ws["w5a"])
             dx = dx + _dot_nt(dz, ws["w5b"])
         else:
-            gw[f"w{i}"][:] += _dot_t_accum(h_prev, dz)
+            if not fuse_wgrad:
+                gw[f"w{i}"][:] += _dot_t_accum(h_prev, dz)
             gw[f"b{i}"][:] += jnp.sum(dz.astype(F32), axis=0, keepdims=True)
             dh = _dot_nt(dz, ws[f"w{i}"])
     dx = dx + dh
@@ -221,23 +225,51 @@ def _bwd_kernel(mc_ref, v_ref, *refs, L: int, min_deg: int, F: int,
 
     # --- normals adjoint: walk the sz-chain forward ---
     # stage 0: g_x += sz_0 @ W0^T
+    left = [None] * 8                    # fuse_wgrad: walk-side operands
     cot_sz = _f32dot(cot_gx, ws["w0"])
-    gw["w0"][:] += _dot_t_accum(cot_gx, sz[0])
+    left[0] = cot_gx
+    if not fuse_wgrad:
+        gw["w0"][:] += _dot_t_accum(cot_gx, sz[0])
     c = jnp.where(masks[0], cot_sz, 0.0).astype(BF16)  # cot(s_0)
     for i in range(1, 8):
+        left[i] = c
         if i == 5:
             cot_sz = _f32dot(c, ws["w5a"]) + _f32dot(cot_gx, ws["w5b"])
-            gw["w5a"][:] += _dot_t_accum(c, sz[5])
-            gw["w5b"][:] += _dot_t_accum(cot_gx, sz[5])
+            if not fuse_wgrad:
+                gw["w5a"][:] += _dot_t_accum(c, sz[5])
+                gw["w5b"][:] += _dot_t_accum(cot_gx, sz[5])
         else:
             cot_sz = _f32dot(c, ws[f"w{i}"])
-            gw[f"w{i}"][:] += _dot_t_accum(c, sz[i])
+            if not fuse_wgrad:
+                gw[f"w{i}"][:] += _dot_t_accum(c, sz[i])
         c = jnp.where(masks[i], cot_sz, 0.0).astype(BF16)  # cot(s_i)
     # s_7 = broadcast(Wd[:, SIGMA_COL]): fold the row-sum into that column.
     sigma_onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, OUT_PAD), 1)
                     == SIGMA_COL)
     gw["wd"][:] += (jnp.sum(c.astype(F32), axis=0, keepdims=True).T
                     * sigma_onehot)
+
+    if fuse_wgrad:
+        # --- fused weight-gradient accumulation (round-4 megakernel
+        # prerequisite, VERDICT r3 #6): each trunk weight receives TWO
+        # rank-M contributions — h_prev^T dz_i from the primary backward
+        # and left_i^T sz_i from the normals-adjoint walk. Row-concatenate
+        # the operand pairs and contract ONCE per weight at doubled K:
+        # identical math (block-partitioned matmul), half the weight-grad
+        # dot count, and every merged dot is issued AFTER both chains so
+        # none sits on the dependency path. ---
+        def merged(a1, b1, a2, b2):
+            return _dot_t_accum(jnp.concatenate([a1, a2], axis=0),
+                                jnp.concatenate([b1, b2], axis=0))
+
+        gw["w0"][:] += merged(x, dz_saved[0], left[0], sz[0])
+        for i in range(1, 8):
+            if i == 5:
+                gw["w5a"][:] += merged(acts[4], dz_saved[5], left[5], sz[5])
+                gw["w5b"][:] += merged(x, dz_saved[5], cot_gx, sz[5])
+            else:
+                gw[f"w{i}"][:] += merged(acts[i - 1], dz_saved[i],
+                                         left[i], sz[i])
 
     # --- combine IPE cotangents from both paths and fold to moments ---
     cot_y = dx * c1 - cot_c1 * x_f32
@@ -280,7 +312,8 @@ def _call_forward(mc, v, packed, L, min_deg, save_residuals=False):
     )(mc, v, *packed)
 
 
-def _call_backward(mc, v, packed, g, q, acts, L, min_deg):
+def _call_backward(mc, v, packed, g, q, acts, L, min_deg,
+                   fuse_wgrad=False):
     M = mc.shape[0]
     F = 2 * 3 * L
     const, row = _specs(BLOCK_M_BWD)
@@ -297,7 +330,8 @@ def _call_backward(mc, v, packed, g, q, acts, L, min_deg):
                                       memory_space=pltpu.VMEM))
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, L=L, min_deg=min_deg, F=F,
-                          num_rows=M, block_m=BLOCK_M_BWD),
+                          num_rows=M, block_m=BLOCK_M_BWD,
+                          fuse_wgrad=fuse_wgrad),
         grid=(pl.cdiv(M, BLOCK_M_BWD),),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -309,21 +343,22 @@ def _call_backward(mc, v, packed, g, q, acts, L, min_deg):
     return outs[0], tuple(outs[1:])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _fused_normals_core(mc, v, packed, L, min_deg):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_normals_core(mc, v, packed, L, min_deg, fuse_wgrad=False):
     return _call_forward(mc, v, packed, L, min_deg)
 
 
-def _fused_normals_fwd(mc, v, packed, L, min_deg):
+def _fused_normals_fwd(mc, v, packed, L, min_deg, fuse_wgrad=False):
     out, dsig, acts = _call_forward(mc, v, packed, L, min_deg,
                                     save_residuals=True)
     return (out, dsig), (mc, v, packed, acts)
 
 
-def _fused_normals_bwd(L, min_deg, res, cts):
+def _fused_normals_bwd(L, min_deg, fuse_wgrad, res, cts):
     mc, v, packed, acts = res
     g, q = cts
-    dmc, dpacked = _call_backward(mc, v, packed, g, q, acts, L, min_deg)
+    dmc, dpacked = _call_backward(mc, v, packed, g, q, acts, L, min_deg,
+                                  fuse_wgrad=fuse_wgrad)
     dpacked = tuple(dw.astype(p.dtype) for dw, p in zip(dpacked, packed))
     return dmc, None, dpacked
 
@@ -333,7 +368,8 @@ _fused_normals_core.defvjp(_fused_normals_fwd, _fused_normals_bwd)
 
 def fused_mlp_normals_apply(params, means: jax.Array, covs: jax.Array,
                             v_enc: jax.Array, num_density_channels: int,
-                            min_deg: int, max_deg: int
+                            min_deg: int, max_deg: int,
+                            fuse_wgrad: bool = False
                             ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """IPE + MLP + d(raw_density[0])/d(means) in one fused kernel.
 
@@ -341,6 +377,12 @@ def fused_mlp_normals_apply(params, means: jax.Array, covs: jax.Array,
     returns (raw_rgb [..., 3], raw_density [..., C], d_raw_sigma [..., 3]),
     all fp32. First-order differentiable (custom_vjp with a hand-written
     backward kernel); the caller must not differentiate twice.
+
+    `fuse_wgrad` (round-4): merge each trunk weight's two gradient
+    contributions (primary backward + normals-adjoint walk) into one
+    doubled-K dot in the backward kernel — identical math, half the
+    weight-grad dot count (the megakernel prerequisite named in the
+    round-3 kernel study).
     """
     L = max_deg - min_deg
     lead = means.shape[:-1]
@@ -351,7 +393,8 @@ def fused_mlp_normals_apply(params, means: jax.Array, covs: jax.Array,
     v = jnp.broadcast_to(v_enc, lead + (v_enc.shape[-1],)).reshape(
         -1, v_enc.shape[-1]).astype(BF16)
     packed = pack_params(params, num_density_channels)
-    out, dsig = _fused_normals_core(mc.astype(F32), v, packed, L, min_deg)
+    out, dsig = _fused_normals_core(mc.astype(F32), v, packed, L, min_deg,
+                                    bool(fuse_wgrad))
     rgb = out[:, :3].reshape(lead + (3,))
     density = out[:, 3:3 + num_density_channels].reshape(
         lead + (num_density_channels,))

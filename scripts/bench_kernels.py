@@ -122,6 +122,15 @@ def main():
                 m, d["venc"], d["packed"], d["gout"], q, acts, 16, 0),
                 d["mc"], args.iters)
             report("v3 bwd (spill, +normals adjoint)", dt, 5)
+            # Round-4: merged weight-grad dots (primary + walk
+            # contributions in ONE doubled-K contraction per weight).
+            try:
+                dt = timed_loop(lambda m: v3._call_backward(
+                    m, d["venc"], d["packed"], d["gout"], q, acts, 16, 0,
+                    fuse_wgrad=True), d["mc"], args.iters)
+                report("v3 bwd (spill, FUSED wgrad)", dt, 5)
+            except Exception as e:
+                print(f"  v3 bwd fused wgrad FAILED {str(e)[:90]}")
 
         for rows in args.rows:
             try:

@@ -246,6 +246,18 @@ VARIANTS = {
                        "loss.env_distill": 0.1,
                        "loss.env_distill_start": 0.45,
                        "loss.env_distill_ramp": 0.2},
+    # Scheduled COMPOSITION: the flat etc_chromic_ed01 measured the best
+    # shadow contrast in the repo (probe 3.78 vs GT 4.91, albedo baking
+    # gone at 1.01) but wrecked the HDR endpoint (-6.1, emitter read
+    # 0.70 vs 8.2). Delay+ramp the tie so the preset's ordered spectrum
+    # settles first, then the distill fixes per-direction structure.
+    "etc_chromic_ed01_s45r2": {"nerf.env_tight_rgb": 0.01,
+                               "nerf.env_tight_chroma": True,
+                               "loss.chrom_illum_comp": True,
+                               "nerf.env_distill_samples": 16,
+                               "loss.env_distill": 0.1,
+                               "loss.env_distill_start": 0.45,
+                               "loss.env_distill_ramp": 0.2},
     # Hotter LR start (time-to-quality lever, queue-17 probes: 25 dB in
     # 2000 / 1000 steps vs 5000 at the shipped 2e-4). The 44k gates ask
     # whether the HDR dynamics (vc tie, saturation guard, irradiance

@@ -189,3 +189,31 @@ class TestInterpretMode:
     def test_v3_forward_and_adjoint(self):
         mlp, params, means, covs, v = _setup(M=192)
         _check_all(params, means, covs, v)
+
+    def test_v3_fuse_wgrad_parity(self):
+        """fuse_wgrad=True merges each trunk weight's two gradient
+        contributions (primary backward + normals-adjoint walk) into one
+        doubled-K dot — a block-partitioned matmul, so the grads must
+        match the unfused backward to accumulation-order round-off."""
+        from jax.flatten_util import ravel_pytree
+
+        from pano_nerf_tpu.kernels.fused_mlp_normals import (
+            fused_mlp_normals_apply)
+
+        mlp, params, means, covs, v = _setup(M=192)
+
+        def loss(p, fuse):
+            rgb, den, dsig = fused_mlp_normals_apply(
+                p, means, covs, v, 5, 0, 16, fuse_wgrad=fuse)
+            return (jnp.sum(jnp.sin(rgb)) + jnp.sum(jnp.cos(den))
+                    + jnp.sum(jnp.sin(dsig * 0.1)))
+
+        # Forward identical (the flag only touches the backward kernel).
+        np.testing.assert_array_equal(
+            np.asarray(loss(params, False)), np.asarray(loss(params, True)))
+        g_ref = jax.grad(loss)(params, False)
+        g_fused = jax.grad(loss)(params, True)
+        f1, _ = ravel_pytree(g_ref)
+        f2, _ = ravel_pytree(g_fused)
+        rel = float(jnp.linalg.norm(f1 - f2) / (jnp.linalg.norm(f1) + 1e-30))
+        assert rel < 1e-5, rel
