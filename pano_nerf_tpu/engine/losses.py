@@ -397,13 +397,31 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
         # weight linearly 0 -> w over a further fraction, avoiding a
         # weight discontinuity mid-run. Both 0 (default) = the flat
         # round-3 behavior, bitwise (no dependence on `step` is traced).
+        # `end`/`fall` are the inverse schedule: tie ON from the start
+        # (the fog forms early, and the round-4 delayed-onset gate
+        # measured a mid-run introduction DESTABILIZING a settled field:
+        # shadow ed01_s45r2 LDR 27.76 @20k -> 22.6 @40k), then anneal
+        # linearly to ZERO over `fall` beginning at `end`, so the HDR
+        # machinery gets the tail of the schedule to repair the
+        # endpoint the flat tie measurably costs.
         ed_start = float(hparams.get("loss.env_distill_start", 0.0))
         ed_ramp = float(hparams.get("loss.env_distill_ramp", 0.0))
-        if (ed_start > 0 or ed_ramp > 0) and step is not None:
+        ed_end = float(hparams.get("loss.env_distill_end", 0.0))
+        ed_fall = float(hparams.get("loss.env_distill_fall", 0.0))
+        scheduled = ed_start > 0 or ed_ramp > 0 or ed_end > 0
+        if scheduled and step is not None:
             max_steps = float(hparams["optimizer.max_steps"])
-            s0 = ed_start * max_steps
-            r = jnp.maximum(ed_ramp * max_steps, 1.0)
-            sched = jnp.clip((step.astype(jnp.float32) - s0) / r, 0.0, 1.0)
+            s = step.astype(jnp.float32)
+            if ed_start > 0 or ed_ramp > 0:
+                s0 = ed_start * max_steps
+                r = jnp.maximum(ed_ramp * max_steps, 1.0)
+                sched = jnp.clip((s - s0) / r, 0.0, 1.0)
+            else:
+                sched = jnp.float32(1.0)   # pure anneal-off: on from step 0
+            if ed_end > 0:
+                e0 = ed_end * max_steps
+                f = jnp.maximum(ed_fall * max_steps, 1.0)
+                sched = sched * (1.0 - jnp.clip((s - e0) / f, 0.0, 1.0))
             loss = loss + (w_ed * sched) * ed
         else:
             loss = loss + w_ed * ed

@@ -246,6 +246,22 @@ VARIANTS = {
                        "loss.env_distill": 0.1,
                        "loss.env_distill_start": 0.45,
                        "loss.env_distill_ramp": 0.2},
+    # INVERSE schedule (anneal-off): tie on from step 0 — co-adaptation
+    # from scratch is what works (the delayed-onset gate measured a
+    # mid-run introduction destabilizing a settled field) — then fall
+    # linearly to zero over [55%, 70%] of the schedule so the HDR
+    # machinery repairs the endpoint with the structure already built.
+    "ed01_e55f15": {"nerf.env_distill_samples": 16,
+                    "loss.env_distill": 0.1,
+                    "loss.env_distill_end": 0.55,
+                    "loss.env_distill_fall": 0.15},
+    "etc_chromic_ed01_e55f15": {"nerf.env_tight_rgb": 0.01,
+                                "nerf.env_tight_chroma": True,
+                                "loss.chrom_illum_comp": True,
+                                "nerf.env_distill_samples": 16,
+                                "loss.env_distill": 0.1,
+                                "loss.env_distill_end": 0.55,
+                                "loss.env_distill_fall": 0.15},
     # Scheduled COMPOSITION: the flat etc_chromic_ed01 measured the best
     # shadow contrast in the repo (probe 3.78 vs GT 4.91, albedo baking
     # gone at 1.01) but wrecked the HDR endpoint (-6.1, emitter read

@@ -456,6 +456,23 @@ class TestEnvDistillLoss:
                           step=jnp.asarray(501))
         assert abs(float(p_j["loss"]) - float(base["loss"])
                    - 0.1 * want) < 1e-6
+        # Inverse (anneal-off) schedule: full weight from 0, falling to
+        # zero over [end, end+fall].
+        hp_f = dict(HP_PROD, **{"loss.env_distill": 0.1,
+                                "loss.env_distill_end": 0.5,
+                                "loss.env_distill_fall": 0.25,
+                                "optimizer.max_steps": 1000})
+
+        def contrib_f(step):
+            p = pano_losses(outs, gt, mask, hp_f, enable_surf=False,
+                            step=jnp.asarray(step))
+            return float(p["loss"]) - float(base["loss"])
+
+        assert abs(contrib_f(0) - 0.1 * want) < 1e-6     # on from step 0
+        assert abs(contrib_f(500) - 0.1 * want) < 1e-6   # until end
+        assert abs(contrib_f(625) - 0.05 * want) < 1e-6  # mid-fall
+        assert abs(contrib_f(750)) < 1e-7                # off
+        assert abs(contrib_f(999)) < 1e-7
         # Defaults (start 0, ramp 0) + step passed == flat tie exactly.
         hp_flat = dict(HP_PROD, **{"loss.env_distill": 0.1})
         p_flat = pano_losses(outs, gt, mask, hp_flat, enable_surf=False)
