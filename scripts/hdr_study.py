@@ -262,6 +262,17 @@ VARIANTS = {
                                 "loss.env_distill": 0.1,
                                 "loss.env_distill_end": 0.55,
                                 "loss.env_distill_fall": 0.15},
+    "etc_chromic_ed01_e7f15": {"nerf.env_tight_rgb": 0.01,
+                               "nerf.env_tight_chroma": True,
+                               "loss.chrom_illum_comp": True,
+                               "nerf.env_distill_samples": 16,
+                               "loss.env_distill": 0.1,
+                               "loss.env_distill_end": 0.7,
+                               "loss.env_distill_fall": 0.15},
+    "ed01_e7f15": {"nerf.env_distill_samples": 16,
+                   "loss.env_distill": 0.1,
+                   "loss.env_distill_end": 0.7,
+                   "loss.env_distill_fall": 0.15},
     # Scheduled COMPOSITION: the flat etc_chromic_ed01 measured the best
     # shadow contrast in the repo (probe 3.78 vs GT 4.91, albedo baking
     # gone at 1.01) but wrecked the HDR endpoint (-6.1, emitter read
