@@ -81,6 +81,22 @@ class TestBaseInheritance:
             if k not in skip:
                 assert got[k] == v, k
 
+    def test_shipped_shadow_preset_resolves(self):
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        got = cfg.load(os.path.join(repo, "configs", "panonerf_shadow.yaml"))
+        hdr = cfg.load(os.path.join(repo, "configs", "panonerf_hdr.yaml"))
+        # The occlusion recipe = hdr preset + the anneal-off distill tie
+        # (round-4 schedule study: on from step 0, zero by 85%).
+        assert got["nerf.env_distill_samples"] == 16
+        assert got["loss.env_distill"] == 0.1
+        assert got["loss.env_distill_end"] == 0.7
+        assert got["loss.env_distill_fall"] == 0.15
+        skip = {"nerf.env_distill_samples", "loss.env_distill",
+                "loss.env_distill_end", "loss.env_distill_fall"}
+        for k, v in hdr.items():
+            if k not in skip:
+                assert got[k] == v, k
+
     def test_shipped_fast_preset_resolves(self):
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         got = cfg.load(os.path.join(repo, "configs", "panonerf_fast.yaml"))
