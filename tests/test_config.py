@@ -101,8 +101,8 @@ class TestBaseInheritance:
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         got = cfg.load(os.path.join(repo, "configs", "panonerf_fast.yaml"))
         base = cfg.load(os.path.join(repo, "configs", "panonerf.yaml"))
-        # Hotter start only (queue-17/19 study); same decay shape.
-        assert got["optimizer.lr_init"] == 4e-4
+        # Hotter start only (round-4 lr1e3 gates); same decay shape.
+        assert got["optimizer.lr_init"] == 1e-3
         for k, v in base.items():
             if k != "optimizer.lr_init":
                 assert got[k] == v, k
