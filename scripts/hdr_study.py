@@ -292,6 +292,8 @@ VARIANTS = {
     # quality — the precondition for a default change.
     "lr4": {"optimizer.lr_init": 4e-4},
     "lr1e3": {"optimizer.lr_init": 1e-3},
+    "lr1e3f": {"optimizer.lr_init": 1e-3,
+               "optimizer.lr_final": 5e-6},
     "lr1e3w": {"optimizer.lr_init": 1e-3,
                "optimizer.lr_delay_steps": 1000},
     "etc_chromic_lr1e3": {"nerf.env_tight_rgb": 0.01,
