@@ -101,10 +101,11 @@ class TestBaseInheritance:
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         got = cfg.load(os.path.join(repo, "configs", "panonerf_fast.yaml"))
         base = cfg.load(os.path.join(repo, "configs", "panonerf.yaml"))
-        # Hotter start only (round-4 lr1e3 gates); same decay shape.
+        # Hot start + finer finish (round-4 lr1e3/lr1e3f gates).
         assert got["optimizer.lr_init"] == 1e-3
+        assert got["optimizer.lr_final"] == 5e-6
         for k, v in base.items():
-            if k != "optimizer.lr_init":
+            if k not in ("optimizer.lr_init", "optimizer.lr_final"):
                 assert got[k] == v, k
 
 
