@@ -243,8 +243,62 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
                                           weights=gate)
             loss = loss + hparams["loss.chrom_loss"] * chrom
             parts["chrom"] = chrom
+    # env_distill schedule factor, computed up front because the ort
+    # boost below rides the same trapezoid (the full schedule rationale
+    # lives at the distill term further down).
+    w_ed = float(hparams.get("loss.env_distill", 0.0))
+    ed_sched = None   # traced [0,1] trapezoid; None = no schedule set
+    if w_ed > 0:
+        ed_start = float(hparams.get("loss.env_distill_start", 0.0))
+        ed_ramp = float(hparams.get("loss.env_distill_ramp", 0.0))
+        ed_end = float(hparams.get("loss.env_distill_end", 0.0))
+        ed_fall = float(hparams.get("loss.env_distill_fall", 0.0))
+        if ed_fall > 0 and ed_end == 0:
+            # A fall window with no `end` would anchor the fall at step 0
+            # (the tie would never be at full weight); reject loudly
+            # rather than silently ignoring the knob (round-4 advisor).
+            raise ValueError(
+                "loss.env_distill_fall > 0 requires loss.env_distill_end"
+                " > 0 (the fall window starts at `end`)")
+        if ed_start > 0 or ed_ramp > 0 or ed_end > 0:
+            if step is None:
+                # Silently applying the FLAT full weight would quietly
+                # undo the schedule (e.g. the anneal-off shadow recipe's
+                # tie would never release). Both in-repo train paths pass
+                # step; a caller that doesn't must not request a schedule.
+                raise ValueError(
+                    "step-scheduled loss.env_distill_{start,ramp,end} set"
+                    " but no `step` was passed to pano_losses")
+            max_steps = float(hparams["optimizer.max_steps"])
+            s = step.astype(jnp.float32)
+            if ed_start > 0 or ed_ramp > 0:
+                s0 = ed_start * max_steps
+                r = jnp.maximum(ed_ramp * max_steps, 1.0)
+                ed_sched = jnp.clip((s - s0) / r, 0.0, 1.0)
+            else:
+                ed_sched = jnp.float32(1.0)  # pure anneal-off: on from 0
+            if ed_end > 0:
+                e0 = ed_end * max_steps
+                f = jnp.maximum(ed_fall * max_steps, 1.0)
+                ed_sched = ed_sched * (1.0 - jnp.clip((s - e0) / f,
+                                                      0.0, 1.0))
+
     if fine.ort_loss is not None:
-        loss = loss + hparams["loss.ort_loss"] * fine.ort_loss
+        w_ort = hparams["loss.ort_loss"]
+        boost = float(hparams.get("loss.ort_tie_boost", 0.0))
+        if boost > 0 and w_ed > 0:
+            # Tie-window normals re-weighting (round-5 shadow study): the
+            # env_distill tie measurably redistributes error into the
+            # normals while it is on (shadow preset: normal ws-MAE 33.8
+            # vs prod 22.9). Scale the orientation loss UP by `boost`
+            # while the tie is at full weight, riding the SAME trapezoid
+            # back to the flat weight as the tie anneals off — extra
+            # orientation pressure exactly when the tie is pushing, none
+            # once it releases. With an unscheduled (flat) tie the boost
+            # is flat too. No-op when env_distill is off.
+            tie = ed_sched if ed_sched is not None else 1.0
+            w_ort = w_ort * (1.0 + (boost - 1.0) * tie)
+        loss = loss + w_ort * fine.ort_loss
         parts["ort"] = fine.ort_loss
 
     # Beyond-reference stabilizers (production defaults are filled by
@@ -383,18 +437,18 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
     # (stop-grad; the scale the primary views supervise). log1p keeps
     # O(1) gradients above the knee. Unlike scale_distill the target is
     # a SECONDARY ray — the exact quantity the integral consumes.
-    w_ed = float(hparams.get("loss.env_distill", 0.0))
     if w_ed > 0 and fine.env_read is not None:
         ed = masked_mse(
             jnp.log1p(jax.nn.relu(fine.env_read)),
             jnp.log1p(jax.nn.relu(fine.env_fine)), mask)
-        # Step schedule (round-4 occlusion-affordability study): the flat
-        # w=0.1 tie buys shadow contrast 1.10 -> 1.92 but costs HDR
-        # endpoint and normal-MAE — the hypothesis is that its gradient
-        # pressure lands hardest EARLY, while geometry is still settling
-        # (the same reasoning as train.surface_start_step). `start` delays
-        # the tie until that fraction of max_steps; `ramp` then raises the
-        # weight linearly 0 -> w over a further fraction, avoiding a
+        # Step schedule (round-4 occlusion-affordability study; the
+        # trapezoid `ed_sched` is computed up front, before the ort
+        # term): the flat w=0.1 tie buys shadow contrast 1.10 -> 1.92
+        # but costs HDR endpoint and normal-MAE — its gradient pressure
+        # lands hardest EARLY, while geometry is still settling (the
+        # same reasoning as train.surface_start_step). `start` delays
+        # the tie until that fraction of max_steps; `ramp` then raises
+        # the weight linearly 0 -> w over a further fraction, avoiding a
         # weight discontinuity mid-run. Both 0 (default) = the flat
         # round-3 behavior, bitwise (no dependence on `step` is traced).
         # `end`/`fall` are the inverse schedule: tie ON from the start
@@ -404,25 +458,8 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
         # linearly to ZERO over `fall` beginning at `end`, so the HDR
         # machinery gets the tail of the schedule to repair the
         # endpoint the flat tie measurably costs.
-        ed_start = float(hparams.get("loss.env_distill_start", 0.0))
-        ed_ramp = float(hparams.get("loss.env_distill_ramp", 0.0))
-        ed_end = float(hparams.get("loss.env_distill_end", 0.0))
-        ed_fall = float(hparams.get("loss.env_distill_fall", 0.0))
-        scheduled = ed_start > 0 or ed_ramp > 0 or ed_end > 0
-        if scheduled and step is not None:
-            max_steps = float(hparams["optimizer.max_steps"])
-            s = step.astype(jnp.float32)
-            if ed_start > 0 or ed_ramp > 0:
-                s0 = ed_start * max_steps
-                r = jnp.maximum(ed_ramp * max_steps, 1.0)
-                sched = jnp.clip((s - s0) / r, 0.0, 1.0)
-            else:
-                sched = jnp.float32(1.0)   # pure anneal-off: on from step 0
-            if ed_end > 0:
-                e0 = ed_end * max_steps
-                f = jnp.maximum(ed_fall * max_steps, 1.0)
-                sched = sched * (1.0 - jnp.clip((s - e0) / f, 0.0, 1.0))
-            loss = loss + (w_ed * sched) * ed
+        if ed_sched is not None:
+            loss = loss + (w_ed * ed_sched) * ed
         else:
             loss = loss + w_ed * ed
         parts["env_distill"] = ed

@@ -329,6 +329,38 @@ class BaseNeRF:
     # view-independent; intensity keeps full view dependence). Default
     # off = strict reference parity; Pallas kernels fall back to XLA.
     chroma_head: bool = False
+    # Spatially-varying illuminant field (PanoMipNeRF only, round-5 duo
+    # attack #8). The round-4 duo_swap closure measured the remaining
+    # two-source failure mechanism exactly: along SECONDARY (primary-
+    # unsupervised) directions the radiance field's chroma collapses to
+    # the scene's mean reflected chroma, so both emitters inherit ONE
+    # spectrum and opposite-chroma recovery is impossible — per-point
+    # spectra cannot survive where no primary ray anchors them
+    # (NOTES.md duo_swap position control; every tie- and head-shaped
+    # attack measured negative). This knob adds the named missing
+    # STRUCTURE: a tiny fp32 MLP on the (stop-grad) surface point emits
+    # per-channel coefficients of a low-order real-SH directional basis;
+    # evaluated at the D env directions and softmaxed over channels it
+    # yields a per-(point, direction) chroma that multiplicatively
+    # re-tints the secondary read under a luma-preserving combine (the
+    # blurred luma the irradiance loss calibrates is untouched; zero-init
+    # output layer = identity modulation = exact parity forward). The
+    # field is supervised ONLY through the irradiance integral: every
+    # surface point that sees a source from its own direction pushes
+    # gradient into the shared smooth field, so the consensus of
+    # receivers — not the collapsed radiance chroma — determines each
+    # source's spectrum. Default off; kernels unaffected (the modulation
+    # runs outside every Pallas kernel).
+    illum_field: bool = False
+    # Maximum SH degree of the directional basis (0..3; (L+1)^2 bases).
+    # Low order IS the regularizer: the field can separate a ceiling
+    # source from a wall source but cannot paint per-direction noise.
+    illum_sh_deg: int = 2
+    # Width of the 2-hidden-layer fp32 illuminant MLP.
+    illum_net_width: int = 64
+    # Positional-encoding degree of the surface-point input (the
+    # illuminant mix varies smoothly in space; low degree keeps it so).
+    illum_posenc_deg: int = 4
     # Eval-time FLOP cut (first-order calls only; 0 = same as training).
     # The fine level is the one that carries the metrics, and the coarse
     # CDF already concentrates its resampled positions where density
@@ -473,6 +505,10 @@ class BaseNeRF:
             emissive_head=bool(hparams.get("nerf.emissive_head", False)),
             emission_bias=float(hparams.get("nerf.emission_bias", -3.0)),
             chroma_head=bool(hparams.get("nerf.chroma_head", False)),
+            illum_field=bool(hparams.get("nerf.illum_field", False)),
+            illum_sh_deg=int(hparams.get("nerf.illum_sh_deg", 2)),
+            illum_net_width=int(hparams.get("nerf.illum_net_width", 64)),
+            illum_posenc_deg=int(hparams.get("nerf.illum_posenc_deg", 4)),
         )
         kw.update(overrides)
         return cls(**kw)
@@ -500,10 +536,53 @@ class BaseNeRF:
         return d + 3 if self.append_identity else d
 
     def init(self, key: jax.Array):
-        """Initialize MLP parameters (fp32)."""
+        """Initialize MLP parameters (fp32); plus the illuminant-field
+        subtree under params['params']['illum'] when `illum_field`."""
         x = jnp.zeros((1, 2, self.xyz_dim), jnp.float32)
         v = jnp.zeros((1, 1, self.view_dim), jnp.float32)
-        return self.mlp.init(key, x, v if self.use_viewdirs else None)
+        params = self.mlp.init(key, x, v if self.use_viewdirs else None)
+        if self.illum_field:
+            k0, k1 = jax.random.split(jax.random.fold_in(key, 0x111))
+            w = self.illum_net_width
+            n_sh = (self.illum_sh_deg + 1) ** 2
+            in_dim = self.illum_posenc_deg * 3 * 2 + 3
+            xavier = jax.nn.initializers.xavier_uniform()
+            params["params"]["illum"] = {
+                "w0": xavier(k0, (in_dim, w), jnp.float32),
+                "b0": jnp.zeros((w,), jnp.float32),
+                "w1": xavier(k1, (w, w), jnp.float32),
+                "b1": jnp.zeros((w,), jnp.float32),
+                # Zero-init output: softmax of zeros = uniform chroma =
+                # identity modulation — the field starts exactly neutral.
+                "w_out": jnp.zeros((w, 3 * n_sh), jnp.float32),
+                "b_out": jnp.zeros((3 * n_sh,), jnp.float32),
+            }
+        return params
+
+    def _illum_chroma(self, params, surf_origins: Array, dirs: Array
+                      ) -> Array:
+        """Illuminant-field chroma simplex at (surface point, direction).
+
+        surf_origins: [B, 3]; dirs: [B, D, 3] unit env directions.
+        Returns [B, D, 3] softmax chroma (rows sum to 1; uniform at the
+        zero-init). fp32 throughout — the field is tiny (~2 small
+        matmuls per surface point) and chroma is precision-sensitive.
+        The query point is a stop-gradient: the field reads geometry,
+        it must not steer it.
+        """
+        from pano_nerf_tpu.utils.spherical import sh_basis
+        p = params["params"]["illum"]
+        x = jax.lax.stop_gradient(surf_origins).astype(jnp.float32)
+        enc = mip.pos_enc(x, 0, self.illum_posenc_deg, True)
+        h = jax.nn.relu(enc @ p["w0"] + p["b0"])
+        h = jax.nn.relu(h @ p["w1"] + p["b1"])
+        n_sh = (self.illum_sh_deg + 1) ** 2
+        coeffs = (h @ p["w_out"] + p["b_out"]).reshape(
+            x.shape[:-1] + (3, n_sh))                       # [B, 3, K]
+        basis = sh_basis(dirs.astype(jnp.float32),
+                         self.illum_sh_deg)                 # [B, D, K]
+        raw = jnp.einsum("...ck,...dk->...dc", coeffs, basis)
+        return jax.nn.softmax(raw, axis=-1)
 
     # ----- encode + MLP + activations ------------------------------------
 

@@ -113,6 +113,26 @@ class PanoMipNeRF(BaseNeRF):
             k_pick, cell_dirs, (luma + 1e-3) * cosw, D)
         return dirs, inv_density, k_env
 
+    def _apply_illum(self, params, env_rgb, surf_origins, lit_dirs):
+        """Re-tint the secondary read with the illuminant field's chroma
+        (BaseNeRF.illum_field) under a luma-preserving combine.
+
+        env_rgb: [B, D, 3] secondary composite; surf_origins: [B, 3];
+        lit_dirs: [B, D, 3]. The field's softmax chroma (x3, so the
+        zero-init is the identity tint) multiplies the read, then the
+        result is rescaled so its luma tracks the ORIGINAL read's — the
+        irradiance loss calibrates intensity through the blurred read
+        and the field may only redistribute it across channels. The eps
+        degrades to the untinted read near zero luma instead of
+        amplifying noise (same shape as the env_tight_chroma combine).
+        """
+        m = 3.0 * self._illum_chroma(params, surf_origins, lit_dirs)
+        tinted = env_rgb * m
+        c = 0.01
+        luma_b = shading.compute_illumination(env_rgb)
+        luma_t = shading.compute_illumination(tinted)
+        return tinted * (luma_b + c) / (luma_t + c)
+
     def _resample_env(self, key, surf_origins, lit_dirs, radii, lit_t,
                       env_weights, randomized):
         """Second (tight-Gaussian) irradiance march for env_resample.
@@ -206,6 +226,11 @@ class PanoMipNeRF(BaseNeRF):
                                lit_dirs.reshape(B * D, 3), False,
                                need=False)
                 env_rgb = re["rgb"].reshape(B, D, 3)
+                if self.illum_field:
+                    # Same illuminant re-tint as the standard path (the
+                    # modulation runs outside the render kernel).
+                    env_rgb = self._apply_illum(params, env_rgb,
+                                                surf_origins, lit_dirs)
                 surf_rgb, diffuse, _, shade = shading.surface_rendering(
                     env_rgb, albedo, out["normal"], None, lit_dirs,
                     rays.viewdirs, env_rays.lossmult)
@@ -690,6 +715,15 @@ class PanoMipNeRF(BaseNeRF):
                     out["env_read"] = read_sel
                     out["env_fine"] = jax.lax.stop_gradient(ed_comp[:, 0])
 
+                if self.illum_field:
+                    # Spatially-varying illuminant re-tint (BaseNeRF.
+                    # illum_field): applied AFTER the env_distill read
+                    # extraction so the distill keeps supervising the
+                    # radiance field itself, and BEFORE surface_rendering
+                    # so the irradiance integral — the field's only
+                    # supervisor — consumes the re-tinted read.
+                    env_rgb = self._apply_illum(params, env_rgb,
+                                                surf_origins, lit_dirs)
                 surf_rgb, diffuse, _, shade = shading.surface_rendering(
                     env_rgb, albedo, normal, None, lit_dirs, rays.viewdirs,
                     solid_angle)

@@ -49,6 +49,43 @@ def sample_dir_by_uniform(num: int) -> np.ndarray:
 sample_dir_by_unifrom = sample_dir_by_uniform  # reference-spelling alias
 
 
+def sh_basis(dirs, deg: int):
+    """Real spherical-harmonic basis values at unit directions.
+
+    Args:
+      dirs: [..., 3] unit vectors (jnp or np).
+      deg: maximum SH degree L (0..3 supported).
+    Returns:
+      [..., (L+1)^2] basis values, standard real-SH normalization
+      (orthonormal over the sphere; verified by Monte-Carlo in
+      tests/test_spherical.py). jnp-traceable — used by the illuminant
+      field (models/base.py illum_field), where the COEFFICIENTS are
+      learned, so the sign convention is immaterial but the
+      normalization keeps per-band gradient scales comparable.
+    """
+    import jax.numpy as jnp
+    if not 0 <= deg <= 3:
+        raise ValueError(f"sh_basis supports deg 0..3, got {deg}")
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    out = [jnp.full(x.shape, 0.2820948)]
+    if deg >= 1:
+        out += [0.4886025 * y, 0.4886025 * z, 0.4886025 * x]
+    if deg >= 2:
+        out += [1.0925484 * x * y, 1.0925484 * y * z,
+                0.3153916 * (3.0 * z * z - 1.0), 1.0925484 * x * z,
+                0.5462742 * (x * x - y * y)]
+    if deg >= 3:
+        z2 = z * z
+        out += [0.5900436 * y * (3.0 * x * x - y * y),
+                2.8906114 * x * y * z,
+                0.4570458 * y * (5.0 * z2 - 1.0),
+                0.3731763 * z * (5.0 * z2 - 3.0),
+                0.4570458 * x * (5.0 * z2 - 1.0),
+                1.4453057 * z * (x * x - y * y),
+                0.5900436 * x * (x * x - 3.0 * y * y)]
+    return jnp.stack(out, axis=-1)
+
+
 def pos_to_spherical(pos: np.ndarray):
     """3-D position -> (theta, phi, distance) in the pano convention.
 

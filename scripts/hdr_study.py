@@ -526,6 +526,52 @@ VARIANTS = {
                       "nerf.env_tight_chroma": True,
                       "loss.chrom_loss": 0.0,
                       "nerf.chroma_head": True},
+    # Round-5 spatially-varying illuminant field (duo attack #8 — the
+    # structure the round-4 duo_swap closure names as missing): a tiny
+    # MLP on the stop-grad surface point emits per-channel low-order SH
+    # coefficients; evaluated at the D env directions + softmaxed it
+    # re-tints the secondary read's CHROMA under a luma-preserving
+    # combine. Supervised only through the irradiance integral, so the
+    # consensus of RECEIVING surfaces — not the collapsed radiance
+    # chroma — sets each source's spectrum.
+    "ilf": {"nerf.illum_field": True},
+    # + the best duo recipe (etc + prior ablation).
+    "etc_chrom0_ilf": {"nerf.env_tight_rgb": 0.01,
+                       "nerf.env_tight_chroma": True,
+                       "loss.chrom_loss": 0.0,
+                       "nerf.illum_field": True},
+    # + the hdr preset (single-source regression gate for the field).
+    "etc_chromic_ilf": {"nerf.env_tight_rgb": 0.01,
+                        "nerf.env_tight_chroma": True,
+                        "loss.chrom_illum_comp": True,
+                        "nerf.illum_field": True},
+    # SH-degree ablation (deg 1 = 4 bases; deg 3 = 16).
+    "ilf_d1": {"nerf.illum_field": True, "nerf.illum_sh_deg": 1},
+    "ilf_d3": {"nerf.illum_field": True, "nerf.illum_sh_deg": 3},
+    "etc_chrom0_ilf_d1": {"nerf.env_tight_rgb": 0.01,
+                          "nerf.env_tight_chroma": True,
+                          "loss.chrom_loss": 0.0,
+                          "nerf.illum_field": True,
+                          "nerf.illum_sh_deg": 1},
+    # Round-5 shadow normals study (VERDICT r4 #3): the preset's tie
+    # costs normal ws-MAE 33.8 vs prod 22.9; boost the orientation loss
+    # while the tie is on, riding the same trapezoid off.
+    "shadow_ob3": {"nerf.env_tight_rgb": 0.01,
+                   "nerf.env_tight_chroma": True,
+                   "loss.chrom_illum_comp": True,
+                   "nerf.env_distill_samples": 16,
+                   "loss.env_distill": 0.1,
+                   "loss.env_distill_end": 0.7,
+                   "loss.env_distill_fall": 0.15,
+                   "loss.ort_tie_boost": 3.0},
+    "shadow_ob10": {"nerf.env_tight_rgb": 0.01,
+                    "nerf.env_tight_chroma": True,
+                    "loss.chrom_illum_comp": True,
+                    "nerf.env_distill_samples": 16,
+                    "loss.env_distill": 0.1,
+                    "loss.env_distill_end": 0.7,
+                    "loss.env_distill_fall": 0.15,
+                    "loss.ort_tie_boost": 10.0},
 }
 
 

@@ -1,5 +1,6 @@
 """Training-loss composition tests for both systems."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -479,6 +480,75 @@ class TestEnvDistillLoss:
         p_flat_step = pano_losses(outs, gt, mask, hp_flat,
                                   enable_surf=False, step=jnp.asarray(7))
         assert float(p_flat["loss"]) == float(p_flat_step["loss"])
+
+    def test_ort_tie_boost(self):
+        """loss.ort_tie_boost (round-5 shadow normals study): the ort
+        weight scales by `boost` while the env_distill tie is at full
+        weight, riding the same trapezoid back to flat as the tie
+        anneals off; flat boost under a flat tie; no-op without the
+        tie."""
+        B = 4
+        gt = jnp.ones((B, 3))
+        ortv = 2.0
+        outs = [level(jnp.ones((B, 3))),
+                level(jnp.ones((B, 3)), ort_loss=jnp.asarray(ortv),
+                      env_read=jnp.ones((B, 3)) * 2.0,
+                      env_fine=jnp.ones((B, 3)) * 5.0)]
+        mask = jnp.ones((B, 1))
+        hp = dict(HP_PROD, **{"loss.ort_loss": 0.1,
+                              "loss.env_distill": 0.1,
+                              "loss.env_distill_end": 0.5,
+                              "loss.env_distill_fall": 0.25,
+                              "loss.ort_tie_boost": 3.0,
+                              "optimizer.max_steps": 1000})
+        hp_nb = dict(hp, **{"loss.ort_tie_boost": 0.0})
+
+        def ort_contrib(hp_, step):
+            p = pano_losses(outs, gt, mask, hp_, enable_surf=False,
+                            step=jnp.asarray(step))
+            p0 = pano_losses(
+                [outs[0], outs[1]._replace(ort_loss=jnp.asarray(0.0))],
+                gt, mask, hp_, enable_surf=False, step=jnp.asarray(step))
+            return float(p["loss"]) - float(p0["loss"])
+
+        base = 0.1 * ortv
+        assert abs(ort_contrib(hp_nb, 0) - base) < 1e-6       # no boost
+        assert abs(ort_contrib(hp, 0) - 3 * base) < 1e-6      # tie on
+        assert abs(ort_contrib(hp, 625) - 2 * base) < 1e-6    # mid-fall
+        assert abs(ort_contrib(hp, 900) - base) < 1e-6        # released
+        # Flat tie: flat boost.
+        hp_flat = dict(HP_PROD, **{"loss.ort_loss": 0.1,
+                                   "loss.env_distill": 0.1,
+                                   "loss.ort_tie_boost": 3.0})
+        assert abs(ort_contrib(hp_flat, 0) - 3 * base) < 1e-6
+        # Without the tie the boost is a no-op.
+        hp_off = dict(HP_PROD, **{"loss.ort_loss": 0.1,
+                                  "loss.ort_tie_boost": 3.0})
+        assert abs(ort_contrib(hp_off, 0) - base) < 1e-6
+
+    def test_schedule_misuse_rejected(self):
+        """Misconfigured schedules fail loudly (round-4 advisor): a fall
+        window without an end would anchor the fall at step 0, and a
+        schedule without a traced step would silently apply the FLAT
+        full weight (the anneal-off tie would never release)."""
+        B = 4
+        gt = jnp.ones((B, 3))
+        outs = [level(jnp.ones((B, 3))),
+                level(jnp.ones((B, 3)),
+                      env_read=jnp.ones((B, 3)) * 2.0,
+                      env_fine=jnp.ones((B, 3)) * 5.0)]
+        mask = jnp.ones((B, 1))
+        hp_lone_fall = dict(HP_PROD, **{"loss.env_distill": 0.1,
+                                        "loss.env_distill_fall": 0.15})
+        with pytest.raises(ValueError, match="env_distill_end"):
+            pano_losses(outs, gt, mask, hp_lone_fall, enable_surf=False,
+                        step=jnp.asarray(0))
+        hp_sched = dict(HP_PROD, **{"loss.env_distill": 0.1,
+                                    "loss.env_distill_end": 0.5,
+                                    "loss.env_distill_fall": 0.15,
+                                    "optimizer.max_steps": 1000})
+        with pytest.raises(ValueError, match="step"):
+            pano_losses(outs, gt, mask, hp_sched, enable_surf=False)
 
 
 class TestVcLuma:

@@ -294,6 +294,92 @@ class TestForward:
             np.asarray(m8._split_emission(jnp.zeros((2, 8)))),
             np.log1p(np.exp(-6.0)), rtol=1e-5)
 
+    def test_illum_field(self, envrays):
+        """nerf.illum_field (round-5 duo attack #8): spatially-varying SH
+        illuminant chroma re-tinting the secondary read. At the zero-init
+        the modulation is the identity (forward matches illum_field=False
+        to fp tolerance; volumetric outputs bitwise — the field touches
+        only the irradiance integral's input); the chroma is a simplex;
+        gradients from the surface loss reach the field's params and ONLY
+        arrive through the irradiance integral (disabling the surface
+        path zeroes them); luma of the re-tinted read tracks the
+        original."""
+        from pano_nerf_tpu.engine import losses as losses_lib
+        base = PanoMipNeRF(num_samples=8, num_env_samples=4,
+                           compute_dtype=jnp.float32)
+        model = PanoMipNeRF(num_samples=8, num_env_samples=4,
+                            compute_dtype=jnp.float32, illum_field=True)
+        params = model.init(jax.random.PRNGKey(0))
+        il = params["params"]["illum"]
+        n_sh = (model.illum_sh_deg + 1) ** 2
+        assert il["w0"].shape == (27, 64)
+        assert il["w_out"].shape == (64, 3 * n_sh)
+        assert float(jnp.abs(il["w_out"]).max()) == 0.0
+        # The trunk init is identical with/without the field.
+        bp = base.init(jax.random.PRNGKey(0))
+        np.testing.assert_array_equal(
+            np.asarray(bp["params"]["trunk_0"]["kernel"]),
+            np.asarray(params["params"]["trunk_0"]["kernel"]))
+        rays = make_rays(5)
+        k = jax.random.PRNGKey(7)
+        o_on = model(params, k, rays, envrays, randomized=True,
+                     white_bkgd=False, enable_surf=True, use_ort_loss=True)
+        o_off = base(bp, k, rays, envrays, randomized=True,
+                     white_bkgd=False, enable_surf=True, use_ort_loss=True)
+        # Volumetric products untouched (bitwise); surface products at the
+        # neutral init match to fp tolerance (softmax-of-zeros x3 ~ 1).
+        np.testing.assert_array_equal(np.asarray(o_on[-1].rgb),
+                                      np.asarray(o_off[-1].rgb))
+        np.testing.assert_allclose(np.asarray(o_on[-1].surf_rgb),
+                                   np.asarray(o_off[-1].surf_rgb),
+                                   rtol=1e-5, atol=1e-6)
+        # Chroma is a simplex for arbitrary params/points/dirs.
+        prm = jax.tree.map(
+            lambda x: x + 0.1 * jax.random.normal(
+                jax.random.PRNGKey(5), x.shape), params)
+        ch = np.asarray(model._illum_chroma(
+            prm, jnp.asarray(np.random.default_rng(0).standard_normal(
+                (6, 3)), jnp.float32), envrays.directions[None].repeat(
+                    6, 0)))
+        np.testing.assert_allclose(ch.sum(-1), 1.0, rtol=1e-5)
+        assert (ch > 0).all()
+        # Luma preservation of the combine (away from the eps floor).
+        from pano_nerf_tpu.ops import shading
+        env = jnp.abs(jax.random.normal(jax.random.PRNGKey(8),
+                                        (6, 6, 3))) + 0.5
+        tinted = model._apply_illum(
+            prm, env, jnp.zeros((6, 3)), envrays.directions[None].repeat(
+                6, 0))
+        np.testing.assert_allclose(
+            np.asarray(shading.compute_illumination(tinted)),
+            np.asarray(shading.compute_illumination(env)), rtol=0.02)
+        assert np.abs(np.asarray(tinted - env)).max() > 1e-4  # it tints
+        # Supervision path: grads reach the field through the surface
+        # loss only.
+        hp = {"loss.coarse_loss_mult": 0.1, "loss.surface_loss": 1.0,
+              "loss.chrom_loss": 0.1, "loss.ort_loss": 0.1}
+        rgbs = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (5, 3)))
+
+        def loss_fn(p, surf):
+            o = model(p, k, rays, envrays, randomized=True,
+                      white_bkgd=False, enable_surf=surf,
+                      use_ort_loss=True)
+            parts = losses_lib.pano_losses(o, rgbs, jnp.ones((5, 1)), hp,
+                                           enable_surf=surf)
+            return parts["loss"]
+
+        g_surf = jax.grad(loss_fn)(prm, True)["params"]["illum"]
+        assert max(float(jnp.abs(x).max())
+                   for x in jax.tree.leaves(g_surf)) > 0
+        g_nosurf = jax.grad(loss_fn)(prm, False)["params"]["illum"]
+        assert max(float(jnp.abs(x).max())
+                   for x in jax.tree.leaves(g_nosurf)) == 0.0
+        # from_hparams plumbing.
+        m = PanoMipNeRF.from_hparams(
+            {**_minimal_nerf_hparams(), "nerf.illum_field": True,
+             "nerf.illum_sh_deg": 1})
+        assert m.illum_field and m.illum_sh_deg == 1
+
     def test_chroma_head(self, envrays):
         """nerf.chroma_head (round-3 duo attack #4): 8-channel head with a
         view-INDEPENDENT chroma simplex riding the density head. The

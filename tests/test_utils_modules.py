@@ -32,6 +32,24 @@ class TestSpherical:
         # Mean direction of a uniform sphere sample is ~0.
         assert np.abs(dirs.mean(0)).max() < 0.05
 
+    def test_sh_basis_orthonormal(self):
+        """Real-SH basis (illuminant field): Monte-Carlo Gram matrix over
+        the sphere ~ identity, i.e. 4*pi*E[Y_i Y_j] = delta_ij, for the
+        full supported range deg 0..3 (16 bases)."""
+        import pytest
+        dirs = spherical.sample_dir_by_uniform(20000)
+        Y = np.asarray(spherical.sh_basis(dirs, 3))
+        assert Y.shape == (20000, 16)
+        gram = 4.0 * np.pi * (Y.T @ Y) / Y.shape[0]
+        np.testing.assert_allclose(gram, np.eye(16), atol=0.06)
+        # degree prefixes agree with the full table
+        for deg in range(3):
+            np.testing.assert_array_equal(
+                np.asarray(spherical.sh_basis(dirs[:64], deg)),
+                Y[:64, :(deg + 1) ** 2])
+        with pytest.raises(ValueError):
+            spherical.sh_basis(dirs[:4], 4)
+
 
 class TestRotation:
     def test_rotates_origin_to_target(self):
