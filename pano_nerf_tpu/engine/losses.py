@@ -247,8 +247,9 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
     # boost below rides the same trapezoid (the full schedule rationale
     # lives at the distill term further down).
     w_ed = float(hparams.get("loss.env_distill", 0.0))
+    w_eda = float(hparams.get("loss.env_distill_acc", 0.0))
     ed_sched = None   # traced [0,1] trapezoid; None = no schedule set
-    if w_ed > 0:
+    if w_ed > 0 or w_eda > 0:
         ed_start = float(hparams.get("loss.env_distill_start", 0.0))
         ed_ramp = float(hparams.get("loss.env_distill_ramp", 0.0))
         ed_end = float(hparams.get("loss.env_distill_end", 0.0))
@@ -286,7 +287,7 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
     if fine.ort_loss is not None:
         w_ort = hparams["loss.ort_loss"]
         boost = float(hparams.get("loss.ort_tie_boost", 0.0))
-        if boost > 0 and w_ed > 0:
+        if boost > 0 and (w_ed > 0 or w_eda > 0):
             # Tie-window normals re-weighting (round-5 shadow study): the
             # env_distill tie measurably redistributes error into the
             # normals while it is on (shadow preset: normal ws-MAE 33.8
@@ -463,6 +464,22 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
         else:
             loss = loss + w_ed * ed
         parts["env_distill"] = ed
+    # Transmittance half of the per-direction tie (round-5 occlusion
+    # attack #13): the radiance tie calibrates what the blurred read
+    # RETURNS but the re-formed wall fog after the anneal-off release
+    # lives in the blurred march's TRANSMITTANCE (probe: wall-direction
+    # composite 0.50 luma vs GT 0.17 at contrast 3.15 — the residual of
+    # the sum-constrained irradiance loss). Tie the same selected
+    # direction's blurred acc to the fine re-march's acc (stop-grad,
+    # raw [0,1] space), riding the same trapezoid as the radiance tie.
+    if w_eda > 0 and fine.env_read_acc is not None:
+        eda = masked_mse(fine.env_read_acc[..., None],
+                         fine.env_fine_acc[..., None], mask)
+        if ed_sched is not None:
+            loss = loss + (w_eda * ed_sched) * eda
+        else:
+            loss = loss + w_eda * eda
+        parts["env_distill_acc"] = eda
     # Emission sparsity (emissive-head decomposition, BaseNeRF.
     # emissive_head): L1 on the composited self-emission — emission is
     # non-negative by construction, so this is a masked mean — keeping it

@@ -63,6 +63,12 @@ class LevelOutput(NamedTuple):
     #   fine-march target (stop-grad): stochastic per-direction
     #   distillation of the secondary scale (loss.env_distill — round-3
     #   occlusion study, BaseNeRF.env_distill_samples).
+    env_read_acc: Optional[Array] = None  # [B] blurred-march opacity along
+    env_fine_acc: Optional[Array] = None  # [B] the SAME direction + its
+    #   fine-march target (stop-grad): the transmittance half of the
+    #   per-direction distillation (loss.env_distill_acc — round-5
+    #   occlusion attack #13: the radiance tie alone leaves the re-formed
+    #   wall fog in the TRANSMITTANCE, 0.50 vs GT 0.17 post-release).
 
 
 @dataclasses.dataclass(frozen=True)

@@ -573,6 +573,7 @@ class PanoMipNeRF(BaseNeRF):
                         lit_t.reshape(B * D, S2 + 1),
                         lit_dirs.reshape(B * D, 3), False)
                     env_rgb = re["rgb"].reshape(B, D, 3)
+                    env_acc = re["acc"].reshape(B, D)
                 else:
                     env_graph = make_graph(lit_covs, lit_dirs, None,
                                            fused=True)
@@ -580,6 +581,7 @@ class PanoMipNeRF(BaseNeRF):
                     env_vr = mip.volumetric_rendering(
                         e_rgb, e_density, lit_t, lit_dirs, white_bkgd=False)
                     env_rgb = env_vr[0]
+                    env_acc = env_vr[2]
                     if self.env_tight_rgb > 0 and not self.env_resample:
                         # Blur-dilution fix (BaseNeRF.env_tight_rgb): the
                         # blurred march keeps occlusion/placement, but the
@@ -672,9 +674,11 @@ class PanoMipNeRF(BaseNeRF):
                         env_graph2 = make_graph(lit_covs, lit_dirs, None,
                                                 fused=True)
                         e_rgb2, e_den2, _, _ = env_graph2(lit_means)
-                        env_rgb = mip.volumetric_rendering(
+                        env_vr2 = mip.volumetric_rendering(
                             e_rgb2, e_den2, lit_t, lit_dirs,
-                            white_bkgd=False)[0]
+                            white_bkgd=False)
+                        env_rgb = env_vr2[0]
+                        env_acc = env_vr2[2]
 
                 if self.env_distill_samples > 0 and randomized:
                     # Stochastic per-direction distillation (round-3
@@ -710,10 +714,19 @@ class PanoMipNeRF(BaseNeRF):
                             one * env_rays.radii[0, 0], randomized))
                     ed_graph = make_graph(ed_c, ed_d, None, fused=True)
                     ed_rgb, ed_den, _, _ = ed_graph(ed_m)
-                    ed_comp = mip.volumetric_rendering(
-                        ed_rgb, ed_den, ed_t, ed_d, white_bkgd=False)[0]
+                    ed_vr = mip.volumetric_rendering(
+                        ed_rgb, ed_den, ed_t, ed_d, white_bkgd=False)
                     out["env_read"] = read_sel
-                    out["env_fine"] = jax.lax.stop_gradient(ed_comp[:, 0])
+                    out["env_fine"] = jax.lax.stop_gradient(ed_vr[0][:, 0])
+                    # Transmittance half of the per-direction tie (round-5
+                    # occlusion attack #13, loss.env_distill_acc): the
+                    # radiance tie alone leaves the re-formed wall fog in
+                    # the blurred march's OPACITY — expose the same
+                    # direction's blurred acc and its fine-march target.
+                    out["env_read_acc"] = jnp.take_along_axis(
+                        env_acc, idx, axis=1)[:, 0]
+                    out["env_fine_acc"] = jax.lax.stop_gradient(
+                        ed_vr[2][:, 0])
 
                 if self.illum_field:
                     # Spatially-varying illuminant re-tint (BaseNeRF.

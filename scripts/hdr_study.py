@@ -572,6 +572,28 @@ VARIANTS = {
                     "loss.env_distill_end": 0.7,
                     "loss.env_distill_fall": 0.15,
                     "loss.ort_tie_boost": 10.0},
+    # Round-5 occlusion attack #13 (loss.env_distill_acc): the radiance
+    # tie calibrates what the blurred read returns, but the post-release
+    # wall fog lives in the blurred march's TRANSMITTANCE (0.50 vs GT
+    # 0.17 at contrast 3.15). Tie the same direction's acc to the fine
+    # re-march's, riding the same anneal-off trapezoid, on top of the
+    # shipped shadow preset.
+    "shadow_eda": {"nerf.env_tight_rgb": 0.01,
+                   "nerf.env_tight_chroma": True,
+                   "loss.chrom_illum_comp": True,
+                   "nerf.env_distill_samples": 16,
+                   "loss.env_distill": 0.1,
+                   "loss.env_distill_acc": 0.1,
+                   "loss.env_distill_end": 0.7,
+                   "loss.env_distill_fall": 0.15},
+    "shadow_eda03": {"nerf.env_tight_rgb": 0.01,
+                     "nerf.env_tight_chroma": True,
+                     "loss.chrom_illum_comp": True,
+                     "nerf.env_distill_samples": 16,
+                     "loss.env_distill": 0.1,
+                     "loss.env_distill_acc": 0.3,
+                     "loss.env_distill_end": 0.7,
+                     "loss.env_distill_fall": 0.15},
 }
 
 

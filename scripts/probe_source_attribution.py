@@ -154,6 +154,20 @@ def attribute(params, model, env_rays, spec, n_points: int = 64,
         tight_rgb_s = np.asarray(rgb_t)                  # [N*D, S, 3]
         tight_comp = (env_w[..., None] * tight_rgb_s).sum(-2)
 
+    # Illuminant-field chroma (BaseNeRF.illum_field, round-5 duo attack
+    # #8): the per-(point, direction) softmax chroma the field re-tints
+    # the consumed read with. The duo question is whether THIS quantity
+    # separates the sources (opposite chroma along the two source
+    # directions) where the radiance field's own secondary chroma
+    # collapses to the scene mean.
+    illum_ch = None
+    if getattr(model, "illum_field", False) and \
+            "illum" in params.get("params", {}):
+        illum_ch = np.asarray(model._illum_chroma(
+            params, jnp.asarray(pts),
+            jnp.broadcast_to(jnp.asarray(dirs)[None], (N, D, 3)))
+        ).reshape(N * D, 3)
+
     # Fine-scale march of the same rays, ending just past the GT hit.
     box_diag = 2.0 * float(np.linalg.norm(spec.box))
     far = jnp.asarray(np.minimum(t_hit + 0.5, box_diag).reshape(N, D, 1))
@@ -186,6 +200,9 @@ def attribute(params, model, env_rays, spec, n_points: int = 64,
             if tight_comp is not None:
                 row["tight_rgb"] = [round(float(x), 3)
                                     for x in tight_comp[m].mean(0)]
+            if illum_ch is not None:
+                row["illum_chroma"] = [round(float(x), 3)
+                                       for x in illum_ch[m].mean(0)]
             # Under-read decomposition along these rays (env scale): how
             # much compositing weight lands BEFORE the GT hit (phantom
             # occluders), AT/past it (the source's own depth), and what

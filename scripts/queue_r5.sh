@@ -121,5 +121,42 @@ while :; do
   echo $((pos + 1)) > "$POS_F"
   [ -z "$line" ] && continue
   case "$line" in \#*) continue;; esac
+  case "$line" in
+    CMD\ *)
+      # Generic command line: "CMD <logfile> <deadline_s> <command...>".
+      # Round-5 finding: direct chip launches from the build session wedge
+      # at the tunnel handshake (4/4 attempts, flat ~11 s CPU in
+      # futex_wait); runner children wedge too at the NOTES ~3/4 session
+      # rate — so CMD gets the same watchdog shape as hdr_study runs: if
+      # the log grows no real output within WEDGE_S, kill the group and
+      # retry once. "Real output" = bytes beyond the two xla_bridge
+      # warnings every launch prints (~260 bytes).
+      set -- $line
+      cmd_log=$2; cmd_deadline=$3; shift 3
+      for cmd_try in 1 2; do
+        note "CMD START (try $cmd_try) $* (log $cmd_log, deadline ${cmd_deadline}s)"
+        ( cd /root/repo && exec setsid timeout "$cmd_deadline" "$@" \
+            > "$cmd_log" 2>&1 ) &
+        cmd_pid=$!
+        cmd_waited=0; cmd_wedged=0
+        while kill -0 "$cmd_pid" 2>/dev/null; do
+          sleep 30; cmd_waited=$((cmd_waited + 30))
+          if [ "$cmd_waited" -ge "$WEDGE_S" ] \
+              && [ "$(wc -c < "$cmd_log" 2>/dev/null || echo 0)" -lt 330 ]; then
+            note "CMD WEDGE (no output after ${cmd_waited}s) — killing group"
+            cmd_wedged=1
+            kill -TERM -- "-$cmd_pid" 2>/dev/null; sleep 5
+            kill -KILL -- "-$cmd_pid" 2>/dev/null
+            break
+          fi
+        done
+        wait "$cmd_pid" 2>/dev/null
+        cmd_rc=$?
+        if [ "$cmd_wedged" = 0 ]; then break; fi
+        sleep 30
+      done
+      note "CMD DONE rc=$cmd_rc $*"
+      continue;;
+  esac
   run_one $line
 done

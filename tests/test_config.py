@@ -74,9 +74,15 @@ class TestBaseInheritance:
         # The full etc_chromic composition shipped after the box/wall
         # gates + duo_cool seed matrix came back green (NOTES.md).
         assert got["loss.chrom_illum_comp"] is True
+        # The preset PINS the pre-round-5 schedule (the default flipped
+        # to 1e-3/5e-6, which measurably weakens this preset's HDR edge
+        # on the flagship scene — NOTES.md round-4 lr matrix).
+        assert got["optimizer.lr_init"] == 2e-4
+        assert got["optimizer.lr_final"] == 2e-5
         # Everything else is the production recipe.
         skip = {"nerf.env_tight_chroma", "nerf.env_tight_rgb",
-                "loss.chrom_illum_comp"}
+                "loss.chrom_illum_comp", "optimizer.lr_init",
+                "optimizer.lr_final"}
         for k, v in base.items():
             if k not in skip:
                 assert got[k] == v, k
@@ -132,7 +138,10 @@ class TestMerging:
         hp = cfg.load_config(os.path.join(root, "configs", "panonerf.yaml"))
         assert hp["nerf.mlp_name"] == "panonerf"
         assert hp["train.batch_size"] == 512
-        assert hp["optimizer.lr_init"] == 2e-4
+        # Round-5 default flip: hot start, finer finish (NOTES.md round-5
+        # flip matrix — all 9 cells green).
+        assert hp["optimizer.lr_init"] == 1e-3
+        assert hp["optimizer.lr_final"] == 5e-6
         assert hp["checkpoint.resume_path"] is None
 
     def test_cli_overrides(self):

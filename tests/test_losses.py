@@ -481,6 +481,57 @@ class TestEnvDistillLoss:
                                   enable_surf=False, step=jnp.asarray(7))
         assert float(p_flat["loss"]) == float(p_flat_step["loss"])
 
+    def test_acc_tie(self):
+        """loss.env_distill_acc ties the selected direction's blurred acc
+        to the fine re-march's acc in raw space, riding the same
+        trapezoid as the radiance tie; absent the model outputs it is a
+        no-op."""
+        B = 4
+        gt = jnp.ones((B, 3))
+        outs = [level(jnp.ones((B, 3))),
+                level(jnp.ones((B, 3)),
+                      env_read=jnp.ones((B, 3)) * 2.0,
+                      env_fine=jnp.ones((B, 3)) * 5.0,
+                      env_read_acc=jnp.full((B,), 0.9),
+                      env_fine_acc=jnp.full((B,), 0.2))]
+        mask = jnp.ones((B, 1))
+        hp_off = dict(HP_PROD, **{"loss.env_distill": 0.1})
+        p_off = pano_losses(outs, gt, mask, hp_off, enable_surf=False)
+        assert "env_distill_acc" not in p_off
+        hp_on = dict(hp_off, **{"loss.env_distill_acc": 0.5})
+        p_on = pano_losses(outs, gt, mask, hp_on, enable_surf=False)
+        want = float((0.9 - 0.2) ** 2)
+        assert abs(float(p_on["env_distill_acc"]) - want) < 1e-6
+        assert abs(float(p_on["loss"]) - float(p_off["loss"])
+                   - 0.5 * want) < 1e-6
+        # Rides the anneal-off trapezoid (same keys as the radiance tie).
+        hp_s = dict(hp_on, **{"loss.env_distill_end": 0.5,
+                              "loss.env_distill_fall": 0.25,
+                              "optimizer.max_steps": 1000})
+        p_mid = pano_losses(outs, gt, mask, hp_s, enable_surf=False,
+                            step=jnp.asarray(625))
+        p_end = pano_losses(outs, gt, mask, hp_s, enable_surf=False,
+                            step=jnp.asarray(999))
+        p_0 = pano_losses(outs, gt, mask, hp_s, enable_surf=False,
+                          step=jnp.asarray(0))
+        assert abs((float(p_0["loss"]) - float(p_end["loss"]))
+                   - (0.1 * float(p_0["env_distill"])
+                      + 0.5 * want)
+                   + 0.0) < 1e-5
+        # mid-fall is halfway between full-on and released
+        assert abs(float(p_mid["loss"])
+                   - 0.5 * (float(p_0["loss"]) + float(p_end["loss"]))
+                   ) < 1e-5
+        # Acc-only tie (env_distill 0) still works, flat.
+        hp_acc = dict(HP_PROD, **{"loss.env_distill_acc": 0.5})
+        p_acc = pano_losses(outs, gt, mask, hp_acc, enable_surf=False)
+        assert "env_distill" not in p_acc
+        assert abs(float(p_acc["env_distill_acc"]) - want) < 1e-6
+        # No model outputs -> no term.
+        outs_none = [level(jnp.ones((B, 3))), level(jnp.ones((B, 3)))]
+        assert "env_distill_acc" not in pano_losses(
+            outs_none, gt, mask, hp_on, enable_surf=False)
+
     def test_ort_tie_boost(self):
         """loss.ort_tie_boost (round-5 shadow normals study): the ort
         weight scales by `boost` while the env_distill tie is at full

@@ -860,6 +860,13 @@ class TestEnvDistill:
         assert f.env_read.shape == (5, 3) and f.env_fine.shape == (5, 3)
         assert np.isfinite(np.asarray(f.env_read)).all()
         assert np.isfinite(np.asarray(f.env_fine)).all()
+        # The transmittance pair (round-5 attack #13) rides along: acc in
+        # [0, 1], fine target stop-grad, same selected direction.
+        assert f.env_read_acc is not None and f.env_fine_acc is not None
+        assert f.env_read_acc.shape == (5,) and f.env_fine_acc.shape == (5,)
+        for a in (f.env_read_acc, f.env_fine_acc):
+            a = np.asarray(a)
+            assert np.isfinite(a).all() and (a >= 0).all() and (a <= 1).all()
         # The selected read must be one of the D per-direction composites
         # of the same forward (same key => same march).
         base = m(p, jax.random.PRNGKey(4), rays, envrays, **self._kw())

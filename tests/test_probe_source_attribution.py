@@ -104,3 +104,21 @@ class TestAttribute:
         for row in src:
             assert "tight_rgb" in row
             assert np.isfinite(np.asarray(row["tight_rgb"])).all()
+
+    def test_illum_chroma_reported_for_ilf_models(self):
+        """With illum_field the probe reports the field's per-class mean
+        chroma simplex (the quantity whose per-source separation the duo
+        gates measure)."""
+        model = PanoMipNeRF(num_samples=8, num_env_samples=4,
+                            illum_field=True, compute_dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(0))
+        spec = synthetic.SCENE_VARIANTS["duo"]
+        rep = attribute(params, model, _env_rays(d=24), spec,
+                        n_points=48, seed=0, fine_samples=16)
+        rows = [r for r in rep["rows"] if r["pairs"] > 0]
+        assert rows
+        for row in rows:
+            assert "illum_chroma" in row
+            # zero-init field -> uniform chroma
+            np.testing.assert_allclose(row["illum_chroma"], 1.0 / 3,
+                                       atol=1e-3)
