@@ -480,6 +480,29 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
         else:
             loss = loss + w_eda * eda
         parts["env_distill_acc"] = eda
+    # Illuminant-field distillation (round-5 duo attack #8b): the
+    # spatially-varying illuminant field learns each source's CORRECT
+    # per-direction spectrum from receiver consensus (measured: the
+    # round-5 probe reads illum_chroma 0.464/0.266/0.269 at the warm
+    # source and 0.281/0.325/0.393 at the cool one — essentially GT —
+    # on the very checkpoint whose radiance-field reads stay collapsed
+    # to the scene mean). The re-tint alone fixes what the INTEGRAL
+    # consumes but nothing moves the emitters' own radiance, so the
+    # HDR image metric doesn't move. This term closes the loop: pull
+    # the PRE-tint secondary read's chroma (the radiance-field side —
+    # at etc that is the tight, primary-supervised scale) toward the
+    # stop-grad field chroma, per (point, direction). One-way by
+    # construction: the field keeps learning only from the integral.
+    w_ild = float(hparams.get("loss.illum_distill", 0.0))
+    if w_ild > 0 and fine.env_pre_illum is not None:
+        pre = jax.nn.relu(fine.env_pre_illum)
+        pre_chroma = pre / (jnp.sum(pre, axis=-1, keepdims=True) + 1e-4)
+        tgt = jax.lax.stop_gradient(fine.illum_chroma)
+        B = pre_chroma.shape[0]
+        ild = masked_mse(pre_chroma.reshape(B, -1),
+                         tgt.reshape(B, -1), mask)
+        loss = loss + w_ild * ild
+        parts["illum_distill"] = ild
     # Emission sparsity (emissive-head decomposition, BaseNeRF.
     # emissive_head): L1 on the composited self-emission — emission is
     # non-negative by construction, so this is a masked mean — keeping it

@@ -69,6 +69,14 @@ class LevelOutput(NamedTuple):
     #   per-direction distillation (loss.env_distill_acc — round-5
     #   occlusion attack #13: the radiance tie alone leaves the re-formed
     #   wall fog in the TRANSMITTANCE, 0.50 vs GT 0.17 post-release).
+    env_pre_illum: Optional[Array] = None  # [B, D, 3] the secondary read
+    illum_chroma: Optional[Array] = None   # [B, D, 3] BEFORE the field's
+    #   re-tint + the field's chroma simplex at the same (point, dir)
+    #   pairs (loss.illum_distill — round-5 duo attack #8b: the probe
+    #   measured the FIELD learning each source's correct spectrum from
+    #   receiver consensus while the radiance field stays collapsed;
+    #   this pair lets the loss pull the radiance field's secondary
+    #   chroma toward the stop-grad field).
 
 
 @dataclasses.dataclass(frozen=True)

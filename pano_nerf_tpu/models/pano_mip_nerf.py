@@ -113,20 +113,26 @@ class PanoMipNeRF(BaseNeRF):
             k_pick, cell_dirs, (luma + 1e-3) * cosw, D)
         return dirs, inv_density, k_env
 
-    def _apply_illum(self, params, env_rgb, surf_origins, lit_dirs):
+    def _apply_illum(self, params, env_rgb, surf_origins, lit_dirs,
+                     chroma=None):
         """Re-tint the secondary read with the illuminant field's chroma
         (BaseNeRF.illum_field) under a luma-preserving combine.
 
         env_rgb: [B, D, 3] secondary composite; surf_origins: [B, 3];
-        lit_dirs: [B, D, 3]. The field's softmax chroma (x3, so the
-        zero-init is the identity tint) multiplies the read, then the
-        result is rescaled so its luma tracks the ORIGINAL read's — the
-        irradiance loss calibrates intensity through the blurred read
-        and the field may only redistribute it across channels. The eps
-        degrades to the untinted read near zero luma instead of
-        amplifying noise (same shape as the env_tight_chroma combine).
+        lit_dirs: [B, D, 3]; chroma: optional precomputed
+        `_illum_chroma` output (avoids a second field query when the
+        caller also exposes it for loss.illum_distill). The field's
+        softmax chroma (x3, so the zero-init is the identity tint)
+        multiplies the read, then the result is rescaled so its luma
+        tracks the ORIGINAL read's — the irradiance loss calibrates
+        intensity through the blurred read and the field may only
+        redistribute it across channels. The eps degrades to the
+        untinted read near zero luma instead of amplifying noise (same
+        shape as the env_tight_chroma combine).
         """
-        m = 3.0 * self._illum_chroma(params, surf_origins, lit_dirs)
+        if chroma is None:
+            chroma = self._illum_chroma(params, surf_origins, lit_dirs)
+        m = 3.0 * chroma
         tinted = env_rgb * m
         c = 0.01
         luma_b = shading.compute_illumination(env_rgb)
@@ -735,8 +741,19 @@ class PanoMipNeRF(BaseNeRF):
                     # radiance field itself, and BEFORE surface_rendering
                     # so the irradiance integral — the field's only
                     # supervisor — consumes the re-tinted read.
+                    m = self._illum_chroma(params, surf_origins, lit_dirs)
+                    if randomized:
+                        # Expose the (pre-tint read, field chroma) pair
+                        # for loss.illum_distill (duo attack #8b): the
+                        # field learns each source's correct spectrum
+                        # from receiver consensus (measured, round-5
+                        # probe) — the loss can pull the radiance
+                        # field's collapsed secondary chroma toward it.
+                        out["env_pre_illum"] = env_rgb
+                        out["illum_chroma"] = m
                     env_rgb = self._apply_illum(params, env_rgb,
-                                                surf_origins, lit_dirs)
+                                                surf_origins, lit_dirs,
+                                                chroma=m)
                 surf_rgb, diffuse, _, shade = shading.surface_rendering(
                     env_rgb, albedo, normal, None, lit_dirs, rays.viewdirs,
                     solid_angle)

@@ -76,9 +76,22 @@ def main():
         from pano_nerf_tpu.core.config import merge_from_list
         merge_from_list(hp, args.opts)
 
+    # NOTE deliberately no pre-backend output here: the queue runner's
+    # wedge watchdog keys on log bytes, and the first print must come
+    # AFTER the tunnel handshake (the `[data] device-resident` line from
+    # put_dataset_on_device) or a wedged launch would look alive.
     trainer = Trainer(hp)
     system = trainer.system
     state = system.create_state(jax.random.PRNGKey(hp["seed"]))
+    # Post-handshake liveness line (stderr, flushed): create_state's
+    # params are materialized on device, so reaching this print means
+    # the tunnel handshake succeeded — the queue runner's wedge
+    # watchdog keys on log growth (round-5 NOTES). A PRE-backend print
+    # here would blind it.
+    jax.block_until_ready(state.params)
+    print(f"[bench_quality] backend up: scene={scene} "
+          f"batch={args.batch_size} max_steps={args.max_steps}",
+          file=sys.stderr, flush=True)
     # Production data path: device-resident dataset + multi-step lax.scan
     # dispatch, exactly what trainer.fit runs (the old host-fed
     # make_train_step loop measured the 1-core host pipeline, not the
@@ -105,6 +118,12 @@ def main():
         if step % args.val_every < spc:
             m = trainer.validate(state, step, max_images=1)
             psnr_curve.append((step, m["psnr_ldr_vol"]))
+            # Streamed progress (stderr, flushed): the queue runner's
+            # wedge watchdog distinguishes a healthy-but-quiet run from
+            # a tunnel-handshake wedge by log growth (round-5 NOTES).
+            print(f"[bench_quality {step}/{args.max_steps}] "
+                  f"ldr_ws_psnr={m['psnr_ldr_vol']:.2f}",
+                  file=sys.stderr, flush=True)
             if hit_step is None and m["psnr_ldr_vol"] >= args.target:
                 hit_step = step
                 hit_time = time.perf_counter() - t0 - compile_done

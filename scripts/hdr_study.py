@@ -572,6 +572,26 @@ VARIANTS = {
                     "loss.env_distill_end": 0.7,
                     "loss.env_distill_fall": 0.15,
                     "loss.ort_tie_boost": 10.0},
+    # Round-5 duo attack #8b (loss.illum_distill): the field learns each
+    # source's correct spectrum from receiver consensus (probe-measured
+    # on the ilf checkpoint) but nothing moves the emitters' own
+    # radiance — close the loop by pulling the pre-tint secondary
+    # chroma toward the stop-grad field chroma.
+    "etc_chrom0_ilfd003": {"nerf.env_tight_rgb": 0.01,
+                           "nerf.env_tight_chroma": True,
+                           "loss.chrom_loss": 0.0,
+                           "nerf.illum_field": True,
+                           "loss.illum_distill": 0.03},
+    "etc_chrom0_ilfd01": {"nerf.env_tight_rgb": 0.01,
+                          "nerf.env_tight_chroma": True,
+                          "loss.chrom_loss": 0.0,
+                          "nerf.illum_field": True,
+                          "loss.illum_distill": 0.1},
+    "etc_chrom0_ilfd03": {"nerf.env_tight_rgb": 0.01,
+                          "nerf.env_tight_chroma": True,
+                          "loss.chrom_loss": 0.0,
+                          "nerf.illum_field": True,
+                          "loss.illum_distill": 0.3},
     # Round-5 occlusion attack #13 (loss.env_distill_acc): the radiance
     # tie calibrates what the blurred read returns, but the post-release
     # wall fog lives in the blurred march's TRANSMITTANCE (0.50 vs GT

@@ -65,14 +65,23 @@ attempt() {
   local waited=0
   while kill -0 "$pid" 2>/dev/null; do
     sleep 30; waited=$((waited + 30))
-    if [ "$waited" -ge "$WEDGE_S" ] && [ ! -s "$mfile" ]; then
-      note "WEDGE $variant @ $scene seed$seed (no metrics after ${waited}s) — killing group"
+    # Early wedge check (round-5): a healthy study prints its [data]
+    # line to the tag log inside ~90 s; a handshake wedge never prints
+    # anything. Cheaper than waiting the full metrics window.
+    if [ "$waited" -ge "${CMD_WEDGE_S:-180}" ] \
+        && [ "$(wc -c < "$out/$tag.json" 2>/dev/null || echo 0)" -lt 30 ]; then
+      note "WEDGE-EARLY $variant @ $scene seed$seed (no output after ${waited}s) — killing group"
       touch "$sentinel"
       kill -TERM -- "-$pid" 2>/dev/null; sleep 10
       kill -KILL -- "-$pid" 2>/dev/null
       wait "$pid" 2>/dev/null
       return 0
     fi
+    # (round-5) NO metrics-based wedge check beyond the early one: a
+    # run that printed its [data] line completed the handshake, and a
+    # NEW variant's first compile can legitimately exceed the old 420 s
+    # metrics window (the ilf gate was killed mid-compile by it). A
+    # post-handshake hang burns the per-line deadline instead.
     if [ "$waited" -ge "$max_s" ]; then
       note "DEADLINE $variant @ $scene seed$seed (${waited}s > ${max_s}s) — killing group"
       kill -TERM -- "-$pid" 2>/dev/null; sleep 10
@@ -92,16 +101,17 @@ run_one() {
   note "START $variant @ $scene seed$seed $*"
   # Freshness: a stale partial run must not blind the wedge watchdog.
   rm -rf "$vdir"
-  attempt "$snap" "$out" "$scene" "$variant" "$seed" "$max_s" "$@"
-  local rc=$?
-  if [ -e "$sentinel" ]; then
-    rm -rf "$vdir"; rm -f "$sentinel"
-    sleep 60
-    note "RETRY $variant @ $scene seed$seed"
+  local rc=0 try
+  for try in 1 2 3 4; do
     attempt "$snap" "$out" "$scene" "$variant" "$seed" "$max_s" "$@"
     rc=$?
-    [ -e "$sentinel" ] && note "WEDGE-TWICE $variant @ $scene seed$seed — giving up"
-  fi
+    [ -e "$sentinel" ] || break
+    # Round-5: the handshake wedge rate reached ~3/4 — retry up to 3x.
+    rm -rf "$vdir"; rm -f "$sentinel"
+    sleep 30
+    [ "$try" = 4 ] && { note "WEDGE-x4 $variant @ $scene seed$seed — giving up"; break; }
+    note "RETRY $try $variant @ $scene seed$seed"
+  done
   note "DONE  $variant @ $scene seed$seed rc=$rc"
 }
 
@@ -133,7 +143,7 @@ while :; do
       # warnings every launch prints (~260 bytes).
       set -- $line
       cmd_log=$2; cmd_deadline=$3; shift 3
-      for cmd_try in 1 2; do
+      for cmd_try in 1 2 3 4; do
         note "CMD START (try $cmd_try) $* (log $cmd_log, deadline ${cmd_deadline}s)"
         ( cd /root/repo && exec setsid timeout "$cmd_deadline" "$@" \
             > "$cmd_log" 2>&1 ) &
@@ -141,7 +151,12 @@ while :; do
         cmd_waited=0; cmd_wedged=0
         while kill -0 "$cmd_pid" 2>/dev/null; do
           sleep 30; cmd_waited=$((cmd_waited + 30))
-          if [ "$cmd_waited" -ge "$WEDGE_S" ] \
+          # A healthy chip job prints SOMETHING beyond the two
+          # xla_bridge warnings (~265 B) inside ~90 s (train.py's data
+          # line; bench_quality's startup line) — 180 s is enough, and
+          # halves the cost of each wedge retry vs the 420 s study
+          # window.
+          if [ "$cmd_waited" -ge "${CMD_WEDGE_S:-180}" ] \
               && [ "$(wc -c < "$cmd_log" 2>/dev/null || echo 0)" -lt 330 ]; then
             note "CMD WEDGE (no output after ${cmd_waited}s) — killing group"
             cmd_wedged=1

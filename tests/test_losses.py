@@ -532,6 +532,35 @@ class TestEnvDistillLoss:
         assert "env_distill_acc" not in pano_losses(
             outs_none, gt, mask, hp_on, enable_surf=False)
 
+    def test_illum_distill(self):
+        """loss.illum_distill pulls the pre-tint secondary chroma toward
+        the stop-grad field chroma; absent the model pair it is a
+        no-op."""
+        B, D = 4, 3
+        gt = jnp.ones((B, 3))
+        pre = jnp.abs(jax.random.normal(jax.random.PRNGKey(0),
+                                        (B, D, 3))) + 0.1
+        tgt = jax.nn.softmax(jax.random.normal(jax.random.PRNGKey(1),
+                                               (B, D, 3)), axis=-1)
+        outs = [level(jnp.ones((B, 3))),
+                level(jnp.ones((B, 3)), env_pre_illum=pre,
+                      illum_chroma=tgt)]
+        mask = jnp.ones((B, 1))
+        p_off = pano_losses(outs, gt, mask, HP_PROD, enable_surf=False)
+        assert "illum_distill" not in p_off
+        hp_on = dict(HP_PROD, **{"loss.illum_distill": 0.2})
+        p_on = pano_losses(outs, gt, mask, hp_on, enable_surf=False)
+        pc = np.asarray(pre) / (np.asarray(pre).sum(-1, keepdims=True)
+                                + 1e-4)
+        want = float(((pc - np.asarray(tgt)) ** 2).reshape(B, -1)
+                     .sum(-1).mean())
+        assert abs(float(p_on["illum_distill"]) - want) < 1e-5
+        assert abs(float(p_on["loss"]) - float(p_off["loss"])
+                   - 0.2 * want) < 1e-5
+        outs_none = [level(jnp.ones((B, 3))), level(jnp.ones((B, 3)))]
+        assert "illum_distill" not in pano_losses(
+            outs_none, gt, mask, hp_on, enable_surf=False)
+
     def test_ort_tie_boost(self):
         """loss.ort_tie_boost (round-5 shadow normals study): the ort
         weight scales by `boost` while the env_distill tie is at full

@@ -333,6 +333,18 @@ class TestForward:
         np.testing.assert_allclose(np.asarray(o_on[-1].surf_rgb),
                                    np.asarray(o_off[-1].surf_rgb),
                                    rtol=1e-5, atol=1e-6)
+        # Training forward exposes the (pre-tint read, field chroma)
+        # pair for loss.illum_distill; eval does not.
+        D = envrays.directions.shape[0]
+        assert o_on[-1].env_pre_illum is not None
+        assert o_on[-1].env_pre_illum.shape == (5, D, 3)
+        assert o_on[-1].illum_chroma.shape == (5, D, 3)
+        np.testing.assert_allclose(
+            np.asarray(o_on[-1].illum_chroma).sum(-1), 1.0, rtol=1e-5)
+        o_ev = model(params, k, rays, envrays, randomized=False,
+                     white_bkgd=False, enable_surf=True,
+                     use_ort_loss=False)
+        assert o_ev[-1].env_pre_illum is None
         # Chroma is a simplex for arbitrary params/points/dirs.
         prm = jax.tree.map(
             lambda x: x + 0.1 * jax.random.normal(
