@@ -112,6 +112,12 @@ def main():
 
     jax.devices()          # force backend init: the wedge parks HERE
     heartbeat()
+    # Post-backend liveness line (stderr, flushed): the queue runner's
+    # outer CMD watchdog keys on log growth — without this a healthy
+    # bench run is silent until the final JSON and gets killed at the
+    # wedge window (round-5 NOTES). Printed only after jax.devices()
+    # returned, i.e. the handshake succeeded.
+    print("[bench] backend up", file=sys.stderr, flush=True)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _make_rays, _tiny_hparams

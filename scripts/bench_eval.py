@@ -49,6 +49,11 @@ def main():
     hp.update({k: v for k, v in prod.items()
                if k.startswith(("nerf.", "val."))})
 
+    jax.devices()
+    # Post-backend liveness (see bench.py / round-5 NOTES): lets the
+    # queue runner's wedge watchdog see a healthy launch.
+    print("[bench_eval] backend up", file=sys.stderr, flush=True)
+
     n_rays = args.height * args.width
     results = {}
     for chunk in args.chunks:

@@ -104,6 +104,13 @@ def main():
         steps_per_call=spc)
     key = jax.random.PRNGKey(1)
 
+    # Warm the validation/render compile BEFORE the clock starts: the
+    # metric excludes compile on both sides (the reference estimate is
+    # pure step time), and with the round-5 default schedule the 25 dB
+    # crossing arrives at the first validation — leaving the render
+    # compile inside hit_time would make it the dominant term.
+    trainer.validate(state, 0, max_images=1)
+
     t0 = time.perf_counter()
     compile_done = None
     hit_step, hit_time = None, None
