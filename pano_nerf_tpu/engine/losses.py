@@ -501,7 +501,27 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
         B = pre_chroma.shape[0]
         ild = masked_mse(pre_chroma.reshape(B, -1),
                          tgt.reshape(B, -1), mask)
-        loss = loss + w_ild * ild
+        # Rise schedule (round-5 phase-2 recipe): delay the pull until
+        # `start` (fraction of max_steps), ramp to full over `ramp` —
+        # paired with train.illum_freeze at the same point, so the
+        # field LEARNS first (from the still-collapsed radiance) and
+        # TEACHES second (frozen, the distill cannot become
+        # self-fulfilling — the measured always-on failure mode where
+        # the field drifts once the radiance starts matching it).
+        ild_start = float(hparams.get("loss.illum_distill_start", 0.0))
+        ild_ramp = float(hparams.get("loss.illum_distill_ramp", 0.0))
+        if ild_start > 0 or ild_ramp > 0:
+            if step is None:
+                raise ValueError(
+                    "loss.illum_distill_start/_ramp set but no `step` "
+                    "was passed to pano_losses")
+            max_steps = float(hparams["optimizer.max_steps"])
+            s0 = ild_start * float(hparams["optimizer.max_steps"])
+            r = jnp.maximum(ild_ramp * max_steps, 1.0)
+            rise = jnp.clip((step.astype(jnp.float32) - s0) / r, 0.0, 1.0)
+            loss = loss + (w_ild * rise) * ild
+        else:
+            loss = loss + w_ild * ild
         parts["illum_distill"] = ild
     # Emission sparsity (emissive-head decomposition, BaseNeRF.
     # emissive_head): L1 on the composited self-emission — emission is

@@ -157,6 +157,33 @@ class BaseSystem:
         near, far = self.hparams["range"]
         return jnp.clip(depth, near, far)
 
+    def _freeze_illum_grads(self, grads, step):
+        """Zero the illuminant-field subtree's gradients once
+        step >= train.illum_freeze * max_steps (traced comparison).
+
+        Round-5 ilfd study: with the one-way distill always on, the
+        field's identification signal collapses as the radiance field
+        starts matching it (the integral's residual that TAUGHT the
+        field becomes self-fulfilling) and the field itself drifts off
+        the correct spectra the probe measured in the distill-free run.
+        Phase the training instead: let the field learn from the
+        still-collapsed radiance, then freeze it exactly when the
+        distill begins pulling (loss.illum_distill_start). Grad masking
+        under Adam leaves ~beta1^k momentum drift for a few dozen steps
+        — negligible at 44k scale. No-op when the knob or subtree is
+        absent.
+        """
+        freeze = float(self.hparams.get("train.illum_freeze", 0.0))
+        if freeze <= 0 or "illum" not in grads.get("params", {}):
+            return grads
+        fstep = freeze * float(self.hparams["optimizer.max_steps"])
+        scale = (step < fstep).astype(jnp.float32)
+        g = dict(grads)
+        gp = dict(g["params"])
+        gp["illum"] = jax.tree.map(lambda x: x * scale, gp["illum"])
+        g["params"] = gp
+        return g
+
     def _apply_updates(self, state: TrainState, grads) -> TrainState:
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
@@ -229,6 +256,7 @@ class PanoNeRFSystem(BaseSystem):
 
             (_, parts), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
+            grads = self._freeze_illum_grads(grads, state.step)
             return self._apply_updates(state, grads), parts
 
         return self._jit_train(step_fn)
@@ -289,6 +317,7 @@ class PanoNeRFSystem(BaseSystem):
 
             (_, parts), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
+            grads = self._freeze_illum_grads(grads, state.step)
             return self._apply_updates(state, grads), parts
 
         return self._jit_steps(one_step, steps_per_call)

@@ -592,6 +592,29 @@ VARIANTS = {
                           "loss.chrom_loss": 0.0,
                           "nerf.illum_field": True,
                           "loss.illum_distill": 0.3},
+    # Phase-2 recipe (learn-then-teach): the always-on distill measurably
+    # destabilizes the field's own inference (duo ilfd01 probe: the warm
+    # source's field chroma drifts G-peaked once the radiance starts
+    # matching it — the identification residual becomes self-fulfilling).
+    # Let the field learn to 50% (its distill-free equilibrium is
+    # near-exact on duo), FREEZE it (train.illum_freeze), then ramp the
+    # pull in.
+    "etc_chrom0_ilfds": {"nerf.env_tight_rgb": 0.01,
+                         "nerf.env_tight_chroma": True,
+                         "loss.chrom_loss": 0.0,
+                         "nerf.illum_field": True,
+                         "loss.illum_distill": 0.1,
+                         "loss.illum_distill_start": 0.5,
+                         "loss.illum_distill_ramp": 0.05,
+                         "train.illum_freeze": 0.5},
+    "etc_chrom0_ilfds3": {"nerf.env_tight_rgb": 0.01,
+                          "nerf.env_tight_chroma": True,
+                          "loss.chrom_loss": 0.0,
+                          "nerf.illum_field": True,
+                          "loss.illum_distill": 0.3,
+                          "loss.illum_distill_start": 0.5,
+                          "loss.illum_distill_ramp": 0.05,
+                          "train.illum_freeze": 0.5},
     # Round-5 occlusion attack #13 (loss.env_distill_acc): the radiance
     # tie calibrates what the blurred read returns, but the post-release
     # wall fog lives in the blurred march's TRANSMITTANCE (0.50 vs GT

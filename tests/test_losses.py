@@ -560,6 +560,25 @@ class TestEnvDistillLoss:
         outs_none = [level(jnp.ones((B, 3))), level(jnp.ones((B, 3)))]
         assert "illum_distill" not in pano_losses(
             outs_none, gt, mask, hp_on, enable_surf=False)
+        # Rise schedule (learn-then-teach phase split): zero before
+        # start, linear over the ramp, full after; step required.
+        hp_s = dict(hp_on, **{"loss.illum_distill_start": 0.5,
+                              "loss.illum_distill_ramp": 0.25,
+                              "optimizer.max_steps": 1000})
+
+        def contrib(stepv):
+            p = pano_losses(outs, gt, mask, hp_s, enable_surf=False,
+                            step=jnp.asarray(stepv))
+            p0 = pano_losses(outs, gt, mask, HP_PROD, enable_surf=False,
+                             step=jnp.asarray(stepv))
+            return float(p["loss"]) - float(p0["loss"])
+
+        assert abs(contrib(0)) < 1e-7
+        assert abs(contrib(500)) < 1e-7
+        assert abs(contrib(625) - 0.1 * want) < 1e-5
+        assert abs(contrib(999) - 0.2 * want) < 1e-5
+        with pytest.raises(ValueError, match="illum_distill_start"):
+            pano_losses(outs, gt, mask, hp_s, enable_surf=False)
 
     def test_ort_tie_boost(self):
         """loss.ort_tie_boost (round-5 shadow normals study): the ort

@@ -90,3 +90,39 @@ class TestGradClip:
         s0 = sys0.tx.init(p)
         sz = sysz.tx.init(p)
         assert jax.tree.structure(s0) == jax.tree.structure(sz)
+
+
+class TestIllumFreeze:
+    def test_freeze_masks_illum_grads_after_threshold(self):
+        """train.illum_freeze zeroes ONLY the illuminant-field subtree's
+        gradients once step >= freeze * max_steps (the learn-then-teach
+        phase split for loss.illum_distill, round-5)."""
+        import jax
+        import jax.numpy as jnp
+
+        from __graft_entry__ import _tiny_hparams
+        from pano_nerf_tpu.engine.system import PanoNeRFSystem, TrainState
+
+        hp = _tiny_hparams(8)
+        hp.update({"nerf.illum_field": True,
+                   "train.illum_freeze": 0.5,
+                   "optimizer.max_steps": 100})
+        sys_ = PanoNeRFSystem(hp)
+        params = sys_.model.init(jax.random.PRNGKey(0))
+        grads = jax.tree.map(jnp.ones_like, params)
+
+        g_before = sys_._freeze_illum_grads(grads, jnp.asarray(10))
+        assert float(jnp.abs(
+            g_before["params"]["illum"]["w0"]).max()) == 1.0
+        g_after = sys_._freeze_illum_grads(grads, jnp.asarray(50))
+        assert all(float(jnp.abs(x).max()) == 0.0
+                   for x in jax.tree.leaves(g_after["params"]["illum"]))
+        # Every other subtree untouched.
+        assert float(jnp.abs(
+            g_after["params"]["trunk_0"]["kernel"]).max()) == 1.0
+        # No-op without the knob or the subtree.
+        hp0 = _tiny_hparams(8)
+        sys0 = PanoNeRFSystem(hp0)
+        p0 = sys0.model.init(jax.random.PRNGKey(0))
+        g0 = jax.tree.map(jnp.ones_like, p0)
+        assert sys0._freeze_illum_grads(g0, jnp.asarray(99)) is g0
