@@ -248,8 +248,9 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
     # lives at the distill term further down).
     w_ed = float(hparams.get("loss.env_distill", 0.0))
     w_eda = float(hparams.get("loss.env_distill_acc", 0.0))
+    w_edd = float(hparams.get("loss.env_distill_dist", 0.0))
     ed_sched = None   # traced [0,1] trapezoid; None = no schedule set
-    if w_ed > 0 or w_eda > 0:
+    if w_ed > 0 or w_eda > 0 or w_edd > 0:
         ed_start = float(hparams.get("loss.env_distill_start", 0.0))
         ed_ramp = float(hparams.get("loss.env_distill_ramp", 0.0))
         ed_end = float(hparams.get("loss.env_distill_end", 0.0))
@@ -480,6 +481,26 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
         else:
             loss = loss + w_eda * eda
         parts["env_distill_acc"] = eda
+    # Expected-distance tie (round-5 occlusion attack #14): the acc tie
+    # (#13) measured VACUOUS — the blurred march's total opacity is
+    # already ~1 along every probed direction, so the fog is not in how
+    # much weight accumulates but WHERE it lands; the expected distance
+    # reads exactly that. Fine re-march target (its density is
+    # primary-supervised, so it terminates at real surfaces), stop-grad,
+    # log-space (distances span [near, far] multiplicatively), same
+    # trapezoid. Unlike scale_distill_dist (primary rays, collapsed
+    # geometry at 0.1) the tie here is per secondary DIRECTION with a
+    # finer-march target — the quantity the fog actually corrupts.
+    if w_edd > 0 and fine.env_read_dist is not None:
+        edd = masked_mse(
+            jnp.log(jnp.maximum(fine.env_read_dist, 1e-3))[..., None],
+            jnp.log(jnp.maximum(fine.env_fine_dist, 1e-3))[..., None],
+            mask)
+        if ed_sched is not None:
+            loss = loss + (w_edd * ed_sched) * edd
+        else:
+            loss = loss + w_edd * edd
+        parts["env_distill_dist"] = edd
     # Illuminant-field distillation (round-5 duo attack #8b): the
     # spatially-varying illuminant field learns each source's CORRECT
     # per-direction spectrum from receiver consensus (measured: the

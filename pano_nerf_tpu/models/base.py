@@ -69,6 +69,12 @@ class LevelOutput(NamedTuple):
     #   per-direction distillation (loss.env_distill_acc — round-5
     #   occlusion attack #13: the radiance tie alone leaves the re-formed
     #   wall fog in the TRANSMITTANCE, 0.50 vs GT 0.17 post-release).
+    env_read_dist: Optional[Array] = None  # [B] blurred expected distance
+    env_fine_dist: Optional[Array] = None  # [B] along the SAME direction
+    #   + its fine-march target (stop-grad): round-5 occlusion attack
+    #   #14 (loss.env_distill_dist) — the acc tie measured vacuous
+    #   (total opacity already ~1 every direction); the fog lives in
+    #   WHERE the weight lands, which the expected distance reads.
     env_pre_illum: Optional[Array] = None  # [B, D, 3] the secondary read
     illum_chroma: Optional[Array] = None   # [B, D, 3] BEFORE the field's
     #   re-tint + the field's chroma simplex at the same (point, dir)

@@ -580,6 +580,7 @@ class PanoMipNeRF(BaseNeRF):
                         lit_dirs.reshape(B * D, 3), False)
                     env_rgb = re["rgb"].reshape(B, D, 3)
                     env_acc = re["acc"].reshape(B, D)
+                    env_dist = re["distance"].reshape(B, D)
                 else:
                     env_graph = make_graph(lit_covs, lit_dirs, None,
                                            fused=True)
@@ -588,6 +589,7 @@ class PanoMipNeRF(BaseNeRF):
                         e_rgb, e_density, lit_t, lit_dirs, white_bkgd=False)
                     env_rgb = env_vr[0]
                     env_acc = env_vr[2]
+                    env_dist = env_vr[1]
                     if self.env_tight_rgb > 0 and not self.env_resample:
                         # Blur-dilution fix (BaseNeRF.env_tight_rgb): the
                         # blurred march keeps occlusion/placement, but the
@@ -685,6 +687,7 @@ class PanoMipNeRF(BaseNeRF):
                             white_bkgd=False)
                         env_rgb = env_vr2[0]
                         env_acc = env_vr2[2]
+                        env_dist = env_vr2[1]
 
                 if self.env_distill_samples > 0 and randomized:
                     # Stochastic per-direction distillation (round-3
@@ -733,6 +736,19 @@ class PanoMipNeRF(BaseNeRF):
                         env_acc, idx, axis=1)[:, 0]
                     out["env_fine_acc"] = jax.lax.stop_gradient(
                         ed_vr[2][:, 0])
+                    # Expected-distance pair (round-5 occlusion attack
+                    # #14, loss.env_distill_dist): the acc tie measured
+                    # vacuous — the blurred march's total opacity is
+                    # already ~1 along every direction; the fog lives in
+                    # WHERE the weight lands. The fine re-march's
+                    # expected distance terminates at the real surface
+                    # (its density is primary-supervised), so tying the
+                    # blurred expected distance to it moves the weight
+                    # mass to the right depth.
+                    out["env_read_dist"] = jnp.take_along_axis(
+                        env_dist, idx, axis=1)[:, 0]
+                    out["env_fine_dist"] = jax.lax.stop_gradient(
+                        ed_vr[1][:, 0])
 
                 if self.illum_field:
                     # Spatially-varying illuminant re-tint (BaseNeRF.

@@ -615,6 +615,19 @@ VARIANTS = {
                           "loss.illum_distill_start": 0.5,
                           "loss.illum_distill_ramp": 0.05,
                           "train.illum_freeze": 0.5},
+    # Earlier, gentler phase boundary: ilfds (freeze/start at 50%, ramp
+    # 5%) taught the warm source the correct ORDER — the first ilf-family
+    # variant to do so — but paid the mid-run-introduction cost (LDR
+    # 29.5 -> 27.9). Shorter clean phase + longer ramp gives 75% of the
+    # schedule for co-adaptation.
+    "etc_chrom0_ilfds25": {"nerf.env_tight_rgb": 0.01,
+                           "nerf.env_tight_chroma": True,
+                           "loss.chrom_loss": 0.0,
+                           "nerf.illum_field": True,
+                           "loss.illum_distill": 0.1,
+                           "loss.illum_distill_start": 0.25,
+                           "loss.illum_distill_ramp": 0.2,
+                           "train.illum_freeze": 0.25},
     # Round-5 occlusion attack #13 (loss.env_distill_acc): the radiance
     # tie calibrates what the blurred read returns, but the post-release
     # wall fog lives in the blurred march's TRANSMITTANCE (0.50 vs GT
@@ -637,6 +650,20 @@ VARIANTS = {
                      "loss.env_distill_acc": 0.3,
                      "loss.env_distill_end": 0.7,
                      "loss.env_distill_fall": 0.15},
+    # Attack #14 (loss.env_distill_dist): the acc tie measured vacuous
+    # (blurred total opacity already ~1 every direction; shadow_eda:
+    # wall fog 0.60 vs the preset's 0.50, calibration broke). The fog
+    # is WHERE the weight lands — tie the blurred expected distance to
+    # the fine re-march's (log space), on the shipped shadow preset.
+    "shadow_edd": {"nerf.env_tight_rgb": 0.01,
+                   "nerf.env_tight_chroma": True,
+                   "loss.chrom_illum_comp": True,
+                   "nerf.env_distill_samples": 16,
+                   "loss.env_distill": 0.1,
+                   "loss.env_distill_dist": 0.1,
+                   "loss.env_distill_end": 0.7,
+                   "loss.env_distill_fall": 0.15,
+                   "loss.ort_tie_boost": 3.0},
 }
 
 

@@ -580,6 +580,33 @@ class TestEnvDistillLoss:
         with pytest.raises(ValueError, match="illum_distill_start"):
             pano_losses(outs, gt, mask, hp_s, enable_surf=False)
 
+    def test_dist_tie(self):
+        """loss.env_distill_dist ties the selected direction's blurred
+        expected distance to the fine re-march's, in log space, riding
+        the shared trapezoid; no-op without the model pair."""
+        B = 4
+        gt = jnp.ones((B, 3))
+        outs = [level(jnp.ones((B, 3))),
+                level(jnp.ones((B, 3)),
+                      env_read_dist=jnp.full((B,), 4.0),
+                      env_fine_dist=jnp.full((B,), 2.0))]
+        mask = jnp.ones((B, 1))
+        p_off = pano_losses(outs, gt, mask, HP_PROD, enable_surf=False)
+        assert "env_distill_dist" not in p_off
+        hp_on = dict(HP_PROD, **{"loss.env_distill_dist": 0.5})
+        p_on = pano_losses(outs, gt, mask, hp_on, enable_surf=False)
+        want = float((np.log(4.0) - np.log(2.0)) ** 2)
+        assert abs(float(p_on["env_distill_dist"]) - want) < 1e-6
+        assert abs(float(p_on["loss"]) - float(p_off["loss"])
+                   - 0.5 * want) < 1e-6
+        # Shares the anneal-off trapezoid.
+        hp_s = dict(hp_on, **{"loss.env_distill_end": 0.5,
+                              "loss.env_distill_fall": 0.25,
+                              "optimizer.max_steps": 1000})
+        p_end = pano_losses(outs, gt, mask, hp_s, enable_surf=False,
+                            step=jnp.asarray(999))
+        assert abs(float(p_end["loss"]) - float(p_off["loss"])) < 1e-6
+
     def test_ort_tie_boost(self):
         """loss.ort_tie_boost (round-5 shadow normals study): the ort
         weight scales by `boost` while the env_distill tie is at full

@@ -879,6 +879,13 @@ class TestEnvDistill:
         for a in (f.env_read_acc, f.env_fine_acc):
             a = np.asarray(a)
             assert np.isfinite(a).all() and (a >= 0).all() and (a <= 1).all()
+        # The expected-distance pair (attack #14) rides along too:
+        # positive, finite, stop-grad fine target.
+        assert f.env_read_dist is not None and f.env_fine_dist is not None
+        for dd in (f.env_read_dist, f.env_fine_dist):
+            dd = np.asarray(dd)
+            assert dd.shape == (5,) and np.isfinite(dd).all()
+            assert (dd >= 0).all()
         # The selected read must be one of the D per-direction composites
         # of the same forward (same key => same march).
         base = m(p, jax.random.PRNGKey(4), rays, envrays, **self._kw())
