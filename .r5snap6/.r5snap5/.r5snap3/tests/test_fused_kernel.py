@@ -1,0 +1,144 @@
+"""Fused Pallas MLP kernel tests (TPU-only; skipped on CPU test platform).
+
+Correctness targets: forward parity with the stock bf16 NerfMLP, gradient
+parity for both params and inputs. On the CPU test platform these skip —
+the Mosaic kernel needs a real TPU (interpret mode would take minutes on
+the 1-core host).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="fused kernel needs a TPU backend")
+
+
+@requires_tpu
+class TestFusedMLP:
+    def _setup(self, C=5, M=2048):
+        from pano_nerf_tpu.models.mlp import NerfMLP
+
+        mlp = NerfMLP(num_density_channels=C, dtype=jnp.bfloat16)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (M, 96)) * 0.5
+        v = jax.random.normal(jax.random.PRNGKey(1), (M, 27)) * 0.5
+        params = mlp.init(key, x[:2], v[:2])
+        return mlp, params, x, v
+
+    def test_forward_parity(self):
+        from pano_nerf_tpu.kernels.fused_mlp import fused_mlp_apply
+
+        mlp, params, x, v = self._setup()
+        r1, d1 = jax.jit(lambda p: mlp.apply(p, x, v))(params)
+        r2, d2 = jax.jit(lambda p: fused_mlp_apply(p, x, v, 5))(params)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=5e-3)
+
+    def test_grad_parity(self):
+        import jax.flatten_util
+
+        from pano_nerf_tpu.kernels.fused_mlp import fused_mlp_apply
+
+        mlp, params, x, v = self._setup()
+        loss = lambda rd: jnp.sum(jnp.sin(rd[0])) + jnp.sum(jnp.cos(rd[1]))
+        g1 = jax.jit(jax.grad(lambda p: loss(mlp.apply(p, x, v))))(params)
+        g2 = jax.jit(jax.grad(
+            lambda p: loss(fused_mlp_apply(p, x, v, 5))))(params)
+        f1, _ = jax.flatten_util.ravel_pytree(g1)
+        f2, _ = jax.flatten_util.ravel_pytree(g2)
+        rel = float(jnp.linalg.norm(f1 - f2) / jnp.linalg.norm(f1))
+        assert rel < 5e-3, rel
+
+    def test_input_grad_accuracy_vs_fp32(self):
+        """dx carries ~4% bf16 round-off through 8 backprop layers in ANY
+        bf16 path; the meaningful check is accuracy against the fp32 truth —
+        the fused kernel must be at least as accurate as stock bf16 XLA."""
+        from pano_nerf_tpu.models.mlp import NerfMLP
+
+        from pano_nerf_tpu.kernels.fused_mlp import fused_mlp_apply
+
+        mlp, params, x, v = self._setup()
+        mlp32 = NerfMLP(num_density_channels=5, dtype=jnp.float32)
+        loss = lambda out: jnp.sum(jnp.sin(out[0]))
+        gx32 = jax.jit(jax.grad(
+            lambda xx: loss(mlp32.apply(params, xx, v))))(x)
+        gx_stock = jax.jit(jax.grad(
+            lambda xx: loss(mlp.apply(params, xx, v))))(x)
+        gx_fused = jax.jit(jax.grad(
+            lambda xx: loss(fused_mlp_apply(params, xx, v, 5))))(x)
+
+        rel = lambda a: float(jnp.linalg.norm(a - gx32)
+                              / jnp.linalg.norm(gx32))
+        assert rel(gx_fused) < max(2 * rel(gx_stock), 0.08), (
+            rel(gx_fused), rel(gx_stock))
+
+    def test_padding_rows_ignored(self):
+        """Row counts not divisible by BLOCK_M must pad transparently."""
+        from pano_nerf_tpu.kernels.fused_mlp import fused_mlp_apply
+
+        mlp, params, x, v = self._setup(M=700)
+        r1, d1 = mlp.apply(params, x, v)
+        r2, d2 = fused_mlp_apply(params, x, v, 5)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=5e-3)
+
+
+@requires_tpu
+class TestFusedIPE:
+    """v2 kernel: IPE computed in-kernel from raw Gaussian moments."""
+
+    def _setup(self, C=5, M=2048):
+        from pano_nerf_tpu.models.mlp import NerfMLP
+        from pano_nerf_tpu.ops import mip
+
+        mlp = NerfMLP(num_density_channels=C, dtype=jnp.bfloat16)
+        key = jax.random.PRNGKey(0)
+        means = jax.random.normal(key, (M, 3)) * 2
+        covs = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (M, 3))) * 0.01
+        v = jax.random.normal(jax.random.PRNGKey(1), (M, 27)) * 0.5
+        x = mip.integrated_pos_enc(means, covs, 0, 16)
+        params = mlp.init(key, x[:2], v[:2])
+        return mlp, params, means, covs, v
+
+    def test_forward_parity(self):
+        from pano_nerf_tpu.kernels.fused_mlp_ipe import fused_mlp_ipe_apply
+        from pano_nerf_tpu.ops import mip
+
+        mlp, params, means, covs, v = self._setup()
+        x = mip.integrated_pos_enc(means, covs, 0, 16)
+        r1, d1 = jax.jit(lambda p: mlp.apply(p, x, v))(params)
+        r2, d2 = jax.jit(lambda p: fused_mlp_ipe_apply(
+            p, means, covs, v, 5, 0, 16))(params)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=5e-3)
+
+    def test_grad_parity(self):
+        import jax.flatten_util
+
+        from pano_nerf_tpu.kernels.fused_mlp_ipe import fused_mlp_ipe_apply
+        from pano_nerf_tpu.ops import mip
+
+        mlp, params, means, covs, v = self._setup()
+        loss = lambda rd: jnp.sum(jnp.sin(rd[0])) + jnp.sum(jnp.cos(rd[1]))
+        g1 = jax.jit(jax.grad(lambda p: loss(mlp.apply(
+            p, mip.integrated_pos_enc(means, covs, 0, 16), v))))(params)
+        g2 = jax.jit(jax.grad(lambda p: loss(fused_mlp_ipe_apply(
+            p, means, covs, v, 5, 0, 16))))(params)
+        f1, _ = jax.flatten_util.ravel_pytree(g1)
+        f2, _ = jax.flatten_util.ravel_pytree(g2)
+        rel = float(jnp.linalg.norm(f1 - f2) / jnp.linalg.norm(f1))
+        # Two bf16 implementations rounding at different points: ~0.6%
+        # relative gap is round-off, not a logic error (a wrong adjoint
+        # shows up as O(1)).
+        assert rel < 1e-2, rel
+
+    def test_dmeans_flows(self):
+        from pano_nerf_tpu.kernels.fused_mlp_ipe import fused_mlp_ipe_apply
+
+        mlp, params, means, covs, v = self._setup(M=512)
+        g = jax.jit(jax.grad(lambda m: jnp.sum(jnp.sin(
+            fused_mlp_ipe_apply(params, m, covs, v, 5, 0, 16)[0]))))(means)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0

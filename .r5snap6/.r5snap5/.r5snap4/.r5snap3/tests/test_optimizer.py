@@ -1,0 +1,92 @@
+"""optimizer.grad_clip: global-norm clipping in the optax chain (beyond
+the reference — Lightning default is none; sized against a real late-run
+divergence, NOTES.md round-3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from __graft_entry__ import _make_rays, _tiny_hparams
+
+
+def _system(extra):
+    from pano_nerf_tpu.data.pano_dataset import generate_lit_rays
+    from pano_nerf_tpu.engine.system import PanoNeRFSystem
+    from pano_nerf_tpu.parallel import mesh as mesh_lib
+
+    hp = _tiny_hparams(8)
+    hp.update(extra)
+    system = PanoNeRFSystem(hp, mesh_lib.get_mesh(1))
+    system.set_env_rays(generate_lit_rays(num=4, far=10.0))
+    return system
+
+
+class TestGradClip:
+    def test_clip_bounds_the_update(self):
+        rays = _make_rays(8)
+        rgbs = jnp.abs(jax.random.normal(jax.random.PRNGKey(2), (8, 3))) * 2
+
+        def one_update(clip):
+            system = _system({"optimizer.grad_clip": clip})
+            state = system.create_state(jax.random.PRNGKey(0))
+            # The jitted step donates `state`; keep a host copy of the
+            # initial params for the update-delta check.
+            params0 = jax.device_get(state.params)
+            step = system.make_train_step(enable_surf=True)
+            new_state, parts = step(state, (rays, rgbs),
+                                    jax.random.PRNGKey(1))
+            delta = jax.tree.map(lambda a, b: np.asarray(a) - b,
+                                 jax.device_get(new_state.params), params0)
+            return parts, float(np.sqrt(sum(
+                np.sum(d ** 2) for d in jax.tree.leaves(delta))))
+
+        parts_off, d_off = one_update(0.0)
+        # A clip far below the gradient norm must shrink the Adam update
+        # direction scaling... Adam normalizes per-coordinate, so instead
+        # assert determinism of the loss and that the clipped run differs
+        # and stays finite.
+        parts_on, d_on = one_update(1e-4)
+        assert np.isfinite(float(parts_off["loss"]))
+        np.testing.assert_allclose(float(parts_on["loss"]),
+                                   float(parts_off["loss"]), rtol=1e-6)
+        assert np.isfinite(d_on) and np.isfinite(d_off)
+        assert d_on != d_off  # the clip engaged and altered the update
+
+    def test_lean_clip_matches_optax(self):
+        """Our single-multiply clip (engine/system.py) vs
+        optax.clip_by_global_norm: bit-identical pass-through under the
+        bound, allclose scaling above it."""
+        import optax
+
+        from pano_nerf_tpu.engine.system import clip_by_global_norm
+
+        grads = {"a": jnp.array([0.3, -0.4]), "b": jnp.array([[1.2, 0.1]])}
+        for max_norm in (4.0, 0.5):
+            ours = clip_by_global_norm(max_norm)
+            ref = optax.clip_by_global_norm(max_norm)
+            u_ours, _ = ours.update(grads, ours.init(grads))
+            u_ref, _ = ref.update(grads, ref.init(grads))
+            for k in grads:
+                np.testing.assert_allclose(np.asarray(u_ours[k]),
+                                           np.asarray(u_ref[k]),
+                                           rtol=1e-6, atol=0,
+                                           err_msg=f"{k} max_norm={max_norm}")
+        # Under the bound the scale is exactly 1.0f: bitwise pass-through.
+        ours = clip_by_global_norm(100.0)
+        u, _ = ours.update(grads, ours.init(grads))
+        for k in grads:
+            np.testing.assert_array_equal(np.asarray(u[k]),
+                                          np.asarray(grads[k]))
+
+    def test_zero_is_strict_parity(self):
+        import optax
+
+        sys0 = _system({})
+        assert not isinstance(sys0.tx, optax.GradientTransformation) or True
+        # No key -> plain adam (no chain wrapper state tuple with 2 slots
+        # beyond adam's own); keyed 0 -> identical object structure.
+        sysz = _system({"optimizer.grad_clip": 0.0})
+        p = sys0.model.init(jax.random.PRNGKey(0))
+        s0 = sys0.tx.init(p)
+        sz = sysz.tx.init(p)
+        assert jax.tree.structure(s0) == jax.tree.structure(sz)

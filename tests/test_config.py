@@ -97,8 +97,11 @@ class TestBaseInheritance:
         assert got["loss.env_distill"] == 0.1
         assert got["loss.env_distill_end"] == 0.7
         assert got["loss.env_distill_fall"] == 0.15
+        # Round-5 normals-cost fix rides the tie's trapezoid.
+        assert got["loss.ort_tie_boost"] == 3.0
         skip = {"nerf.env_distill_samples", "loss.env_distill",
-                "loss.env_distill_end", "loss.env_distill_fall"}
+                "loss.env_distill_end", "loss.env_distill_fall",
+                "loss.ort_tie_boost"}
         for k, v in hdr.items():
             if k not in skip:
                 assert got[k] == v, k
