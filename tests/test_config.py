@@ -97,11 +97,12 @@ class TestBaseInheritance:
         assert got["loss.env_distill"] == 0.1
         assert got["loss.env_distill_end"] == 0.7
         assert got["loss.env_distill_fall"] == 0.15
-        # Round-5 normals-cost fix rides the tie's trapezoid.
-        assert got["loss.ort_tie_boost"] == 3.0
+        # Round-5: ort_tie_boost deliberately NOT in the preset (the x3
+        # seed matrix measured a -3.2 dB worst-seed LDR cost — it ships
+        # as a documented per-run knob instead).
+        assert got["loss.ort_tie_boost"] == 0.0
         skip = {"nerf.env_distill_samples", "loss.env_distill",
-                "loss.env_distill_end", "loss.env_distill_fall",
-                "loss.ort_tie_boost"}
+                "loss.env_distill_end", "loss.env_distill_fall"}
         for k, v in hdr.items():
             if k not in skip:
                 assert got[k] == v, k
