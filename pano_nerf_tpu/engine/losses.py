@@ -537,7 +537,7 @@ def pano_losses(outputs, rgbs_gt: Array, mask: Array, hparams: Dict,
                     "loss.illum_distill_start/_ramp set but no `step` "
                     "was passed to pano_losses")
             max_steps = float(hparams["optimizer.max_steps"])
-            s0 = ild_start * float(hparams["optimizer.max_steps"])
+            s0 = ild_start * max_steps
             r = jnp.maximum(ild_ramp * max_steps, 1.0)
             rise = jnp.clip((step.astype(jnp.float32) - s0) / r, 0.0, 1.0)
             loss = loss + (w_ild * rise) * ild
